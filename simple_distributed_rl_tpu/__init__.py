@@ -1,0 +1,34 @@
+"""simple_distributed_rl_tpu — a TPU-native RL framework with the capability surface of
+pocokhc/simple_distributed_rl, built from scratch on jax/XLA/pjit/Pallas.
+
+Quick start (mirrors the reference's ``srl.Runner`` API):
+
+    import simple_distributed_rl_tpu as srl
+    runner = srl.Runner("Grid", srl.algorithms.QLConfig(), num_envs=512, seed=1)
+    runner.train(max_train_count=100_000)
+    runner.evaluate_compare_to_baseline_single_player()
+"""
+
+from . import algorithms, envs, memories, models, spaces, utils
+from .define import DoneTypes, PlayerType, RLBaseTypes, SpaceTypes
+from .envs import EnvCore, make as make_env, register as register_env
+from .runner import Runner
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DoneTypes",
+    "EnvCore",
+    "PlayerType",
+    "RLBaseTypes",
+    "Runner",
+    "SpaceTypes",
+    "algorithms",
+    "envs",
+    "make_env",
+    "memories",
+    "models",
+    "register_env",
+    "spaces",
+    "utils",
+]

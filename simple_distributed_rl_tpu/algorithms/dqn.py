@@ -1,0 +1,262 @@
+"""DQN (parity: srl/algorithms/dqn/dqn.py + model_tf.py/model_torch.py).
+
+Same capability set as the reference: target network with periodic sync, DoubleDQN,
+value-function rescaling, reward clipping, ε-greedy with annealing schedule and
+invalid-action masking, uniform or proportional-prioritized replay, and the Atari
+paper preset (dqn/dqn.py:89-102). Re-designed TPU-first: the policy runs one batched
+forward over ALL envs per lockstep (one MXU matmul instead of B per-step host calls),
+and train() is a lax.scan of K update steps — sample, TD target, grad, adam, PER
+priority write-back — entirely on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..define import RLBaseTypes
+from ..memories.priority_buffer import PriorityReplayBuffer
+from ..memories.replay_buffer import ReplayBuffer
+from ..models.blocks import InputBlockConfig, QNetwork
+from ..utils import rl_functions as funcs
+from ..utils.schedulers import SchedulerConfig
+from .base import AlgoConfig, PolicyContext, Transition
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class MemoryConfig:
+    """Replay strategy selector (parity: PriorityReplayBufferConfig,
+    srl/rl/memories/priority_replay_buffer.py:17: set_replay_buffer /
+    set_proportional / set_proportional_cpp — the cpp variant IS the on-device
+    proportional sampler here)."""
+
+    capacity: int = 100_000
+    warmup_size: int = 1_000
+    kind: str = "replay_buffer"  # "replay_buffer" | "proportional"
+    alpha: float = 0.6
+    beta_initial: float = 0.4
+    beta_steps: int = 1_000_000
+
+    def set_replay_buffer(self, capacity: int = None):
+        self.kind = "replay_buffer"
+        if capacity is not None:
+            self.capacity = capacity
+        return self
+
+    def set_proportional(self, alpha: float = 0.6, beta_initial: float = 0.4, beta_steps: int = 1_000_000):
+        self.kind = "proportional"
+        self.alpha, self.beta_initial, self.beta_steps = alpha, beta_initial, beta_steps
+        return self
+
+    # the reference's C++ fast path maps to the same device sampler
+    set_proportional_cpp = set_proportional
+
+    def create(self):
+        if self.kind == "proportional":
+            return PriorityReplayBuffer(
+                self.capacity, self.warmup_size, self.alpha, self.beta_initial, self.beta_steps
+            )
+        return ReplayBuffer(self.capacity, self.warmup_size)
+
+
+@struct.dataclass
+class DQNState:
+    params: Any
+    target_params: Any
+    opt_state: Any
+    memory: Any
+    train_count: Array  # int32
+
+
+@dataclasses.dataclass
+class DQNConfig(AlgoConfig):
+    test_epsilon: float = 0.0
+    epsilon: float = 0.1
+    epsilon_scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    batch_size: int = 32
+    memory: MemoryConfig = dataclasses.field(default_factory=MemoryConfig)
+    lr: float = 0.001
+    discount: float = 0.99
+    target_model_update_interval: int = 1000
+    enable_reward_clip: bool = False
+    enable_double_dqn: bool = True
+    enable_rescale: bool = False
+    input_block: InputBlockConfig = dataclasses.field(default_factory=InputBlockConfig)
+    hidden_sizes: Tuple[int, ...] = (64, 64)
+    dueling: bool = False
+
+    observation_type: RLBaseTypes = RLBaseTypes.BOX
+    action_type: RLBaseTypes = RLBaseTypes.DISCRETE
+
+    def get_name(self) -> str:
+        return "DQN"
+
+    def set_atari_config(self):
+        """The Nature-paper preset (parity: dqn/dqn.py:89-102)."""
+        self.batch_size = 32
+        self.memory.capacity = 1_000_000
+        self.memory.warmup_size = 50_000
+        self.input_block.set_dqn_block()
+        self.hidden_sizes = (512,)
+        self.target_model_update_interval = 10_000
+        self.discount = 0.99
+        self.lr = 0.00025
+        self.epsilon_scheduler.set_linear(1.0, 0.1, 1_000_000)
+        self.enable_reward_clip = True
+        self.enable_double_dqn = False
+        self.enable_rescale = False
+        return self
+
+    # ------------------------------------------------------------------
+    def on_setup(self) -> None:
+        self._eps_sch = self.epsilon_scheduler.create(self.epsilon)
+        self._replay = self.memory.create()
+        self._is_per = isinstance(self._replay, PriorityReplayBuffer)
+        self.model = QNetwork(
+            num_actions=self.action_space.n,
+            obs_space=self.obs_space,
+            input_block=self.input_block,
+            hidden=self.hidden_sizes,
+            dueling=self.dueling,
+        )
+        self._tx = optax.adam(self.lr)
+
+    def _example_transition(self) -> Transition:
+        A = self.num_actions
+        return Transition(
+            obs=self.obs_space.zero(),
+            action=jnp.asarray(0, jnp.int32),
+            reward=jnp.asarray(0.0, jnp.float32),
+            next_obs=self.obs_space.zero(),
+            undone=jnp.asarray(1.0, jnp.float32),
+            invalid_mask=jnp.zeros((A,), jnp.bool_),
+            next_invalid_mask=jnp.zeros((A,), jnp.bool_),
+        )
+
+    def init(self, key: Array) -> DQNState:
+        obs_zero = self.obs_space.zero()[None]
+        params = self.model.init(key, obs_zero)
+        return DQNState(
+            params=params,
+            target_params=jax.tree.map(jnp.copy, params),
+            opt_state=self._tx.init(params),
+            memory=self._replay.init(self._example_transition()),
+            train_count=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def policy(self, state: DQNState, obs, invalid_mask, ctx: PolicyContext, key) -> Array:
+        eps = jnp.where(ctx.training, self._eps_sch(ctx.step), self.test_epsilon)
+        q = self.model.apply(state.params, jnp.asarray(obs, jnp.float32))
+        return funcs.epsilon_greedy(q, invalid_mask, eps, key)
+
+    def observe(self, state: DQNState, t: Transition, mask) -> DQNState:
+        if self.enable_reward_clip:
+            t = t.replace(reward=jnp.sign(t.reward))
+        return state.replace(memory=self._replay.add_masked(state.memory, t, mask))
+
+    # ------------------------------------------------------------------
+    def _target_q(self, params, target_params, batch: Transition) -> Array:
+        """TD target (parity: calc_target_q, dqn/dqn.py:144-176)."""
+        n_obs = jnp.asarray(batch.next_obs, jnp.float32)
+        n_q_target = self.model.apply(target_params, n_obs)
+        neg = jnp.finfo(jnp.float32).min
+        if self.enable_double_dqn:
+            n_q = self.model.apply(params, n_obs)
+            n_q = jnp.where(batch.next_invalid_mask, neg, n_q)
+            n_act = jnp.argmax(n_q, axis=-1)
+            maxq = jnp.take_along_axis(n_q_target, n_act[:, None], axis=-1)[:, 0]
+        else:
+            n_q_target = jnp.where(batch.next_invalid_mask, neg, n_q_target)
+            maxq = jnp.max(n_q_target, axis=-1)
+        if self.enable_rescale:
+            maxq = funcs.inverse_rescaling(maxq)
+        target = batch.reward + batch.undone * self.discount * maxq
+        if self.enable_rescale:
+            target = funcs.rescaling(target)
+        return jax.lax.stop_gradient(target)
+
+    def _loss(self, params, target_params, batch: Transition, weights: Array):
+        q_all = self.model.apply(params, jnp.asarray(batch.obs, jnp.float32))
+        q = jnp.take_along_axis(q_all, batch.action[:, None], axis=-1)[:, 0]
+        target = self._target_q(params, target_params, batch)
+        td_error = target - q
+        loss = jnp.mean(weights * jnp.square(td_error))
+        return loss, td_error
+
+    def train(self, state: DQNState, key: Array, num_steps: int) -> Tuple[DQNState, Dict[str, Array]]:
+        grad_fn = jax.grad(self._loss, has_aux=True)
+
+        def one_update(st: DQNState, k):
+            k_sample, _ = jax.random.split(k)
+            if self._is_per:
+                batch, weights, indices = self._replay.sample(
+                    st.memory, k_sample, self.batch_size, st.train_count
+                )
+            else:
+                batch, indices = self._replay.sample_with_indices(
+                    st.memory, k_sample, self.batch_size
+                )
+                weights = jnp.ones((self.batch_size,), jnp.float32)
+
+            grads, td_error = grad_fn(st.params, st.target_params, batch, weights)
+            if self.pmean_axis is not None:
+                # data-parallel gradient sync over ICI — replica params never diverge,
+                # so the reference's param publish thread (play_mp.py:289-318) and
+                # actor sync polling (play_mp.py:121-165) have no equivalent here.
+                grads = jax.lax.pmean(grads, self.pmean_axis)
+            updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+
+            # warmup gate without control flow (reference: memory.warmup_size)
+            ready = self._replay.is_warmup_over(st.memory)
+            params = jax.tree.map(
+                lambda n, o: jnp.where(ready, n, o), new_params, st.params
+            )
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(ready, n, o), opt_state, st.opt_state
+            )
+            train_count = st.train_count + ready.astype(jnp.int32)
+
+            # periodic target sync (dqn target_model_update_interval)
+            sync = (train_count % self.target_model_update_interval) == 0
+            target_params = jax.tree.map(
+                lambda t, p: jnp.where(sync, p, t), st.target_params, params
+            )
+
+            memory = st.memory
+            if self._is_per:
+                memory = self._replay.update(memory, indices, jnp.abs(td_error), enable=ready)
+
+            new_st = DQNState(
+                params=params,
+                target_params=target_params,
+                opt_state=opt_state,
+                memory=memory,
+                train_count=train_count,
+            )
+            loss = jnp.mean(jnp.square(td_error))
+            return new_st, (loss, jnp.where(ready, 1.0, 0.0))
+
+        state, (losses, did) = jax.lax.scan(
+            one_update, state, jax.random.split(key, num_steps)
+        )
+        metrics = {
+            "loss": jnp.sum(losses * did) / jnp.maximum(jnp.sum(did), 1.0),
+            "train_count": state.train_count.astype(jnp.float32),
+        }
+        return state, metrics
+
+    # ------------------------------------------------------------------
+    def params_of(self, state: DQNState):
+        return {"params": state.params, "target_params": state.target_params}
+
+    def restore_params(self, state: DQNState, p) -> DQNState:
+        return state.replace(params=p["params"], target_params=p["target_params"])

@@ -1,0 +1,19 @@
+from .priority_buffer import (
+    PriorityReplayBuffer,
+    PriorityReplayState,
+    RankBasedLinearReplayBuffer,
+    RankBasedReplayBuffer,
+)
+from .replay_buffer import ReplayBuffer, ReplayState
+from .single_use import SingleUseBuffer, SingleUseState
+
+__all__ = [
+    "PriorityReplayBuffer",
+    "PriorityReplayState",
+    "RankBasedLinearReplayBuffer",
+    "RankBasedReplayBuffer",
+    "ReplayBuffer",
+    "ReplayState",
+    "SingleUseBuffer",
+    "SingleUseState",
+]

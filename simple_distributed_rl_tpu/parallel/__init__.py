@@ -1,0 +1,3 @@
+from .data_parallel import DataParallelEngine, make_mesh
+
+__all__ = ["DataParallelEngine", "make_mesh"]

@@ -1,0 +1,154 @@
+"""Data-parallel actor-learner over a device mesh.
+
+This is the TPU-native replacement for the reference's entire distribution stack
+(play_mp.py's actor processes + Manager queues + pickle param board, play_mp_memory.py's
+memory server, and the Redis-based srl/runner/distribution/): instead of processes and
+queues, each device along the ``dp`` mesh axis runs its own env shard + replay shard of
+the SAME jitted chunk under ``shard_map``, and learner replicas stay bit-identical by
+``lax.pmean``-ing gradients over ICI (see AlgoConfig.pmean_axis). There is no
+parameter transport at all — replicas never diverge — and experience never leaves the
+device that produced it.
+
+Scaling axes (SURVEY.md §2.7): env/actor parallelism = vmap within a shard; data
+parallelism = ``dp`` mesh axis (ICI within a slice, DCN across hosts via the same mesh);
+per-actor exploration ladders = PolicyContext.env_ids, which are globally unique across
+shards.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..algorithms.base import AlgoConfig
+from ..envs.core import EnvCore
+from ..runner.engine import EngineState, PlayEngine
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()[: (num_devices or len(jax.devices()))]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _unstack(tree):
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+def _stack(tree):
+    return jax.tree.map(lambda x: x[None], tree)
+
+
+class DataParallelEngine:
+    """N mesh-parallel replicas of a PlayEngine. Carry leaves gain a leading axis of
+    size ``num_shards`` sharded over the ``dp`` mesh axis; params are kept replicated
+    (identical per shard) by in-chunk gradient pmean."""
+
+    def __init__(
+        self,
+        env: EnvCore,
+        algo: AlgoConfig,
+        num_envs_per_shard: int,
+        mesh: Optional[Mesh] = None,
+        players: Optional[Sequence] = None,
+    ):
+        self.mesh = mesh or make_mesh()
+        self.axis = self.mesh.axis_names[0]
+        self.num_shards = self.mesh.devices.size
+        algo.pmean_axis = self.axis
+        self.algo = algo
+        self.engine = PlayEngine(env, algo, num_envs_per_shard, players)
+        self.num_envs = num_envs_per_shard * self.num_shards
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array) -> EngineState:
+        keys = jax.random.split(key, self.num_shards)
+
+        def init_shard(k):
+            return _stack(self.engine.init(k[0]))
+
+        fn = jax.jit(
+            jax.shard_map(
+                init_shard, mesh=self.mesh, in_specs=P(self.axis), out_specs=P(self.axis), check_vma=False
+            )
+        )
+        carry = fn(keys)
+        # make exploration ladders globally unique: offset env_ids per shard is handled
+        # by PolicyContext at policy time via carry.step; params must start identical:
+        params0 = jax.tree.map(lambda x: x[:1], self._algo_params(carry))
+        carry = self._set_algo_params(
+            carry, jax.tree.map(lambda x: jnp.broadcast_to(x, (self.num_shards,) + x.shape[1:]), params0)
+        )
+        return carry
+
+    def _algo_params(self, carry):
+        return self.algo.params_of(carry.algo_state)
+
+    def _set_algo_params(self, carry, params):
+        return carry.replace(algo_state=self.algo.restore_params(carry.algo_state, params))
+
+    # ------------------------------------------------------------------
+    def build_chunk(self, chunk_steps: int, train_steps_per_chunk: Optional[int] = None, training: bool = True):
+        engine = self.engine
+
+        if train_steps_per_chunk is None:
+            train_steps_per_chunk = (
+                max(1, chunk_steps // self.algo.train_interval) if training else 0
+            )
+
+        def chunk_body(carry: EngineState):
+            def body(c, _):
+                return engine._rollout_step(c, training)
+
+            carry, (transitions, masks) = jax.lax.scan(body, carry, None, length=chunk_steps)
+            metrics = {}
+            if training:
+                flat_t = jax.tree.map(
+                    lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), transitions
+                )
+                flat_m = masks.reshape(-1)
+                algo_state = self.algo.observe(carry.algo_state, flat_t, flat_m)
+                key, k_train = jax.random.split(carry.key)
+                if train_steps_per_chunk > 0:
+                    algo_state, metrics = self.algo.train(algo_state, k_train, train_steps_per_chunk)
+                carry = carry.replace(algo_state=algo_state, key=key)
+            return carry, metrics
+
+        def shard_fn(carry):
+            c, m = chunk_body(_unstack(carry))
+            return _stack(c), _stack(m)
+
+        return jax.jit(
+            jax.shard_map(
+                shard_fn, mesh=self.mesh, in_specs=P(self.axis), out_specs=P(self.axis), check_vma=False
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def build_eval(self, num_episodes_per_shard: int):
+        eval_inner = self.engine.build_eval(num_episodes_per_shard)
+
+        def shard_fn(carry_algo, keys):
+            rewards, complete = eval_inner(_unstack(carry_algo), keys[0])
+            return rewards[None], complete[None]
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=self.mesh,
+                in_specs=(P(self.axis), P(self.axis)),
+                out_specs=(P(self.axis), P(self.axis)),
+                check_vma=False,
+            )
+        )
+
+        def eval_fn(carry: EngineState, key):
+            keys = jax.random.split(key, self.num_shards)
+            rewards, complete = fn(carry.algo_state, keys)
+            return jnp.mean(rewards, axis=0), jnp.all(complete)
+
+        return eval_fn

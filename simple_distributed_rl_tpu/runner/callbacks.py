@@ -1,0 +1,151 @@
+"""Run callbacks: progress / history / checkpoint / evaluation hooks.
+
+Parity: RunCallback (srl/base/run/callback.py:11), PrintProgress
+(srl/runner/callbacks/print_progress.py:21-500), HistoryOnFile
+(history_on_file.py:66-381), Checkpoint (checkpoint.py:20-94). Callbacks fire at CHUNK
+boundaries — the only host-sync points of the jitted engine — instead of per step.
+"""
+
+from __future__ import annotations
+
+import json
+import lzma
+import os
+import pickle
+import time
+from typing import Any, Dict, List, Optional
+
+
+class RunCallback:
+    """Hook interface. ``on_chunk_end`` may return False to stop training early
+    (parity: on_step_end bool early-stop, callback.py:11)."""
+
+    def on_start(self, runner) -> None:
+        pass
+
+    def on_chunk_end(self, runner, stats: Dict[str, Any]) -> Optional[bool]:
+        return None
+
+    def on_end(self, runner) -> None:
+        pass
+
+
+class PrintProgress(RunCallback):
+    """Adaptive-interval progress lines: env-steps/s, episodes, mean reward, train
+    count, loss (parity: print_progress.py:135-500)."""
+
+    def __init__(self, interval: float = 5.0, max_interval: float = 60.0):
+        self.interval = interval
+        self.max_interval = max_interval
+        self._t_last = 0.0
+        self._steps_last = 0
+
+    def on_start(self, runner) -> None:
+        self._t0 = time.time()
+        self._t_last = self._t0
+        self._steps_last = 0
+        print(f"### start: env={runner.env_id} rl={runner.algo.get_name()} envs={runner.num_envs}")
+
+    def on_chunk_end(self, runner, stats) -> None:
+        now = time.time()
+        if now - self._t_last < self.interval:
+            return
+        dt = now - self._t_last
+        steps = stats["env_steps"]
+        sps = (steps - self._steps_last) / dt
+        self._t_last = now
+        self._steps_last = steps
+        self.interval = min(self.interval * 1.5, self.max_interval)
+        msg = (
+            f"{now - self._t0:7.1f}s {steps:>12,}st {sps:>12,.0f}st/s"
+            f" {stats.get('episode_count', 0):>8}ep"
+        )
+        rew = stats.get("mean_episode_reward")
+        if rew is not None:
+            msg += f" reward {rew:8.3f}"
+        if "train_count" in stats:
+            msg += f" train {int(stats['train_count']):>9,}"
+        if "loss" in stats:
+            msg += f" loss {stats['loss']:.4f}"
+        print(msg)
+
+
+class HistoryOnFile(RunCallback):
+    """jsonl per-chunk log (parity: history_on_file.py)."""
+
+    def __init__(self, save_dir: str):
+        self.save_dir = save_dir
+        os.makedirs(save_dir, exist_ok=True)
+        self._fp = None
+
+    def on_start(self, runner) -> None:
+        self._fp = open(os.path.join(self.save_dir, "history.jsonl"), "w")
+        self._t0 = time.time()
+
+    def on_chunk_end(self, runner, stats) -> None:
+        if self._fp:
+            rec = {"time": time.time() - self._t0}
+            rec.update({k: v for k, v in stats.items() if isinstance(v, (int, float))})
+            self._fp.write(json.dumps(rec) + "\n")
+
+    def on_end(self, runner) -> None:
+        if self._fp:
+            self._fp.close()
+            self._fp = None
+
+
+class Checkpoint(RunCallback):
+    """Interval parameter snapshots named <time>_<traincount>.pkl.xz (parity:
+    checkpoint.py:20-94 naming date_traincount_evalreward)."""
+
+    def __init__(self, save_dir: str, interval: float = 60.0):
+        self.save_dir = save_dir
+        self.interval = interval
+        os.makedirs(save_dir, exist_ok=True)
+        self._t_last = 0.0
+
+    def on_chunk_end(self, runner, stats) -> None:
+        now = time.time()
+        if now - self._t_last < self.interval:
+            return
+        self._t_last = now
+        fname = os.path.join(
+            self.save_dir,
+            time.strftime("%Y%m%d-%H%M%S") + f"_{int(stats.get('train_count', 0))}.pkl.xz",
+        )
+        runner.save_parameter(fname)
+
+    @staticmethod
+    def latest(save_dir: str) -> Optional[str]:
+        files = sorted(f for f in os.listdir(save_dir) if f.endswith(".pkl.xz"))
+        return os.path.join(save_dir, files[-1]) if files else None
+
+
+def save_compressed(obj: Any, path: str) -> None:
+    """pickle+lzma (parity: RLParameter.save, srl/base/rl/parameter.py:38-51)."""
+    with lzma.open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_compressed(path: str) -> Any:
+    with lzma.open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class Evaluate(RunCallback):
+    """Mid-train evaluation at intervals (parity: runner/callbacks/evaluate.py)."""
+
+    def __init__(self, interval: float = 30.0, num_episodes: int = 10):
+        self.interval = interval
+        self.num_episodes = num_episodes
+        self._t_last = 0.0
+        self.history: List[tuple] = []
+
+    def on_chunk_end(self, runner, stats) -> None:
+        now = time.time()
+        if now - self._t_last < self.interval:
+            return
+        self._t_last = now
+        rewards = runner.evaluate(self.num_episodes)
+        self.history.append((stats["env_steps"], rewards))
+        stats["eval_reward"] = float(rewards[0])

@@ -1,0 +1,334 @@
+"""The vectorized play engine — one jitted rollout+update chunk.
+
+This replaces the reference's entire run-engine layer: the per-step python hot loop
+(core_play.py:115-214), the worker state machine with its 1-step-delayed per-player
+transition view (srl/base/rl/worker_run.py:107-358), and the mp actor-learner pipeline
+(play_mp.py / play_mp_memory.py). Design:
+
+  - B env instances step in LOCKSTEP under ``vmap``; a ``lax.scan`` unrolls T steps;
+    the algorithm's train updates run right after, all inside ONE ``jit``. The only
+    host↔device sync is once per chunk (metrics readback), vs once per step in the
+    reference — this is what buys the >=1M env-steps/s target.
+  - Multi-player turn rotation (core_play.py:151-156) becomes masked lockstep updates:
+    each env carries a per-player "pending transition" slot; when a player acts again
+    (or the episode ends) its pending transition completes and is emitted. Single-player
+    envs are the P=1 degenerate case of the same code path.
+  - Auto-reset per instance replaces the episode restart branch (core_play.py:138-159).
+  - Per-player policies ("players" — None = trained policy, "random" = uniform over
+    valid actions; parity: srl/base/rl/registration.py:149-225) are computed in lockstep
+    and selected per env via the acting player's code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..algorithms.base import AlgoConfig, PolicyContext, Transition
+from ..envs.core import AutoResetEnv, EnvCore
+from ..spaces import Discrete
+
+Array = jax.Array
+
+# player codes (static)
+MAIN = 0
+RANDOM = 1
+
+
+def resolve_players(players: Optional[Sequence], player_num: int) -> List[int]:
+    """Map a reference-style players list (None / "random") to static codes."""
+    if players is None:
+        players = [None] * player_num
+    players = list(players) + [None] * (player_num - len(players))
+    codes = []
+    for p in players[:player_num]:
+        if p is None:
+            codes.append(MAIN)
+        elif p == "random":
+            codes.append(RANDOM)
+        else:
+            raise ValueError(f"unsupported player spec: {p!r} (round-1 supports None/'random')")
+    return codes
+
+
+@struct.dataclass
+class PendingState:
+    """Per-(env, player) open transition: the state/action a player committed, waiting
+    for its next turn (or episode end) to learn its outcome. The TPU-native form of
+    WorkerRun's prev/state/next aliasing (srl/base/rl/worker_run.py:107-228)."""
+
+    obs: Any  # [B, P, ...] encoded
+    action: Any  # [B, P, ...] RL-space
+    reward: Array  # [B, P] accumulated since the pending action
+    invalid: Array  # [B, P, A]
+    active: Array  # [B, P] bool
+
+
+@struct.dataclass
+class EngineState:
+    key: Array
+    env_state: Any  # vmapped AutoResetState
+    ts: Any  # vmapped TimeStep
+    enc_obs: Any  # [B, ...] current encoded observation
+    pending: PendingState
+    algo_state: Any
+    step: Array  # int32 lockstep counter (one unit = B parallel env steps)
+    episode_count: Array  # int32 completed episodes (cumulative)
+    episode_reward_sum: Array  # [P] sum of finished-episode total rewards
+    env_steps: Array  # int64-ish total env steps (B per lockstep)
+
+
+class PlayEngine:
+    """Builds jitted chunk functions for (env, algorithm, num_envs, players)."""
+
+    def __init__(
+        self,
+        env: EnvCore,
+        algo: AlgoConfig,
+        num_envs: int,
+        players: Optional[Sequence] = None,
+        max_episode_steps: Optional[int] = None,
+    ):
+        self.env = env
+        self.algo = algo
+        self.num_envs = int(num_envs)
+        self.aenv = AutoResetEnv(env, max_episode_steps)
+        self.player_codes = resolve_players(players, env.player_num)
+        self.P = env.player_num
+        self.A = env.num_actions
+        self.is_discrete_action = isinstance(env.action_space, Discrete)
+
+        # vmapped env fns
+        self._v_reset = jax.vmap(self.aenv.reset)
+        self._v_step = jax.vmap(self.aenv.step)
+        self._v_obs_enc = jax.vmap(algo.obs_encoder.encode)
+        self._v_act_dec = jax.vmap(algo.action_encoder.decode)
+        self._v_act_enc = jax.vmap(algo.action_encoder.encode)
+        self._v_sample = jax.vmap(env.action_space.sample)
+
+    # ------------------------------------------------------------------
+    def init(self, key: Array) -> EngineState:
+        k_env, k_algo, key = jax.random.split(key, 3)
+        env_state, ts = self._v_reset(jax.random.split(k_env, self.num_envs))
+        enc_obs = self._v_obs_enc(ts.obs)
+        algo_state = self.algo.init(k_algo)
+
+        B, P = self.num_envs, self.P
+        rl_a_example = self._v_act_enc(self._v_sample(jax.random.split(key, B), None))
+        pending = PendingState(
+            obs=jax.tree.map(lambda x: jnp.zeros((B, P) + x.shape[1:], x.dtype), enc_obs),
+            action=jax.tree.map(lambda x: jnp.zeros((B, P) + x.shape[1:], x.dtype), rl_a_example),
+            reward=jnp.zeros((B, P), jnp.float32),
+            invalid=jnp.zeros((B, P, self.A), jnp.bool_),
+            active=jnp.zeros((B, P), jnp.bool_),
+        )
+        return EngineState(
+            key=key,
+            env_state=env_state,
+            ts=ts,
+            enc_obs=enc_obs,
+            pending=pending,
+            algo_state=algo_state,
+            step=jnp.asarray(0, jnp.int32),
+            episode_count=jnp.asarray(0, jnp.int32),
+            episode_reward_sum=jnp.zeros((P,), jnp.float32),
+            env_steps=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _select_actions(self, carry: EngineState, training: bool, keys) -> Tuple[Any, Any]:
+        """Returns (env_action [B,...], rl_action [B,...]) for the acting players."""
+        k_policy, k_rand = keys
+        B = self.num_envs
+        ts = carry.ts
+        ctx = PolicyContext(
+            step=carry.step,
+            training=jnp.asarray(training, jnp.bool_),
+            env_ids=jnp.arange(B, dtype=jnp.int32),
+        )
+        a_rl = self.algo.policy(carry.algo_state, carry.enc_obs, ts.invalid_mask, ctx, k_policy)
+        a_env = self._v_act_dec(a_rl)
+
+        if all(c == MAIN for c in self.player_codes):
+            return a_env, a_rl
+
+        a_rand_env = self._v_sample(jax.random.split(k_rand, B), ts.invalid_mask)
+        codes = jnp.asarray(self.player_codes, jnp.int32)[ts.next_player]  # [B]
+        is_main = codes == MAIN
+
+        def sel(m, r):
+            mask = is_main.reshape((B,) + (1,) * (m.ndim - 1))
+            return jnp.where(mask, m, r)
+
+        a_env_sel = jax.tree.map(sel, a_env, a_rand_env)
+        return a_env_sel, a_rl
+
+    # ------------------------------------------------------------------
+    def _rollout_step(self, carry: EngineState, training: bool):
+        B, P = self.num_envs, self.P
+        key, k_policy, k_rand, k_env = jax.random.split(carry.key, 4)
+        ts = carry.ts
+        p = ts.next_player  # [B]
+        idx = jnp.arange(B)
+        pending = carry.pending
+
+        a_env, a_rl = self._select_actions(carry, training, (k_policy, k_rand))
+
+        codes = jnp.asarray(self.player_codes, jnp.int32)[p]
+        # when the previous timestep ended the episode, this step is an auto-reset: the
+        # policy's action is discarded, so no pending transition may open from the
+        # terminal observation
+        live = jnp.logical_not(jnp.logical_or(ts.terminated, ts.truncated))
+        is_main = (codes == MAIN) & live
+
+        # --- T1: acting player's previous pending completes (sees current obs)
+        t1 = Transition(
+            obs=jax.tree.map(lambda x: x[idx, p][:, None], pending.obs),
+            action=jax.tree.map(lambda x: x[idx, p][:, None], pending.action),
+            reward=pending.reward[idx, p][:, None],
+            next_obs=jax.tree.map(lambda x: x[:, None], carry.enc_obs),
+            undone=jnp.ones((B, 1), jnp.float32),
+            invalid_mask=pending.invalid[idx, p][:, None],
+            next_invalid_mask=ts.invalid_mask[:, None],
+        )
+        t1_mask = (pending.active[idx, p] & is_main)[:, None]  # [B, 1]
+
+        # --- open new pending for acting main players
+        def set_p(buf, val):
+            mask = is_main.reshape((B,) + (1,) * (val.ndim - 1))
+            return buf.at[idx, p].set(jnp.where(mask, val, buf[idx, p]))
+
+        pending = PendingState(
+            obs=jax.tree.map(set_p, pending.obs, carry.enc_obs),
+            action=jax.tree.map(set_p, pending.action, a_rl),
+            reward=pending.reward.at[idx, p].set(
+                jnp.where(is_main, 0.0, pending.reward[idx, p])
+            ),
+            invalid=set_p(pending.invalid, ts.invalid_mask),
+            active=pending.active.at[idx, p].set(
+                jnp.where(is_main, True, pending.active[idx, p])
+            ),
+        )
+
+        # --- env lockstep
+        env_state, ts2 = self._v_step(carry.env_state, ts, a_env, jax.random.split(k_env, B))
+        pending = pending.replace(
+            reward=pending.reward + ts2.rewards * pending.active.astype(jnp.float32)
+        )
+
+        # --- T2: episode end flushes every pending slot with the terminal view
+        enc_obs2 = self._v_obs_enc(ts2.obs)
+        done = jnp.logical_or(ts2.terminated, ts2.truncated)  # [B]
+        undone2 = jnp.where(ts2.terminated, 0.0, 1.0)
+        t2 = Transition(
+            obs=pending.obs,
+            action=pending.action,
+            reward=pending.reward,
+            next_obs=jax.tree.map(
+                lambda x: jnp.broadcast_to(x[:, None], (B, P) + x.shape[1:]), enc_obs2
+            ),
+            undone=jnp.broadcast_to(undone2[:, None], (B, P)),
+            invalid_mask=pending.invalid,
+            next_invalid_mask=jnp.broadcast_to(ts2.invalid_mask[:, None], (B, P, self.A)),
+        )
+        t2_mask = pending.active & done[:, None]  # [B, P]
+        pending = pending.replace(active=pending.active & jnp.logical_not(done)[:, None])
+
+        # --- merge transition slots: [B, 1+P] -> flat [B*(1+P)]
+        def cat(a, b):
+            flat_shape = (B * (1 + P),) + a.shape[2:]
+            return jnp.concatenate([a, b], axis=1).reshape(flat_shape)
+
+        transitions = jax.tree.map(cat, t1, t2)
+        mask = jnp.concatenate([t1_mask, t2_mask], axis=1).reshape(B * (1 + P))
+        if not training:
+            mask = jnp.zeros_like(mask)
+
+        new_carry = EngineState(
+            key=key,
+            env_state=env_state,
+            ts=ts2,
+            enc_obs=enc_obs2,
+            pending=pending,
+            algo_state=carry.algo_state,
+            step=carry.step + 1,
+            episode_count=carry.episode_count + jnp.sum(done.astype(jnp.int32)),
+            episode_reward_sum=carry.episode_reward_sum
+            + jnp.sum(
+                jnp.where(done[:, None], env_state.last_episode_reward, 0.0), axis=0
+            ),
+            env_steps=carry.env_steps + B,
+        )
+        return new_carry, (transitions, mask)
+
+    # ------------------------------------------------------------------
+    def build_chunk(self, chunk_steps: int, train_steps_per_chunk: Optional[int] = None, training: bool = True):
+        """Compile: T lockstep rollout steps (scan) -> one batched memory write ->
+        K train updates. Returns jitted fn: EngineState -> (EngineState, metrics)."""
+        if train_steps_per_chunk is None:
+            train_steps_per_chunk = max(1, chunk_steps // self.algo.train_interval) if training else 0
+
+        def chunk(carry: EngineState):
+            def body(c, _):
+                return self._rollout_step(c, training)
+
+            carry, (transitions, masks) = jax.lax.scan(body, carry, None, length=chunk_steps)
+            metrics: Dict[str, Array] = {}
+            if training:
+                # flatten time into the batch: [T, N, ...] -> [T*N, ...]
+                flat_t = jax.tree.map(
+                    lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), transitions
+                )
+                flat_m = masks.reshape(-1)
+                algo_state = self.algo.observe(carry.algo_state, flat_t, flat_m)
+                key, k_train = jax.random.split(carry.key)
+                if train_steps_per_chunk > 0:
+                    algo_state, metrics = self.algo.train(algo_state, k_train, train_steps_per_chunk)
+                carry = carry.replace(algo_state=algo_state, key=key)
+            return carry, metrics
+
+        # NOTE: no buffer donation yet — env TimeStep.obs may alias env state leaves
+        # (e.g. Grid returns its position as the observation), which XLA rejects as a
+        # double-donation. The perf pass will deduplicate aliases and re-enable
+        # donation so the replay buffer is updated in place.
+        return jax.jit(chunk)
+
+    # ------------------------------------------------------------------
+    def build_eval(self, num_episodes: int, max_steps: Optional[int] = None):
+        """Jitted evaluation: run ``num_episodes`` envs until each finishes one episode
+        (fixed-length scan), return per-player mean episode reward. Parity:
+        Runner.evaluate / evaluate_compare_to_baseline (runner/runner.py:724,1357)."""
+        B = int(num_episodes)
+        steps = int(max_steps or (self.aenv.max_episode_steps * max(1, self.P) + 2))
+        eval_engine = PlayEngine(
+            self.env, self.algo, B, players=None, max_episode_steps=self.aenv.max_episode_steps
+        )
+        eval_engine.player_codes = self.player_codes
+
+        def eval_fn(algo_state: Any, key: Array):
+            carry = eval_engine.init(key)
+            carry = carry.replace(algo_state=algo_state)
+            recorded = jnp.zeros((B,), jnp.bool_)
+            rewards = jnp.zeros((B, self.P), jnp.float32)
+
+            def body(c, _):
+                carry, recorded, rewards = c
+                new_carry, _ = eval_engine._rollout_step(carry, training=False)
+                done = jnp.logical_or(new_carry.ts.terminated, new_carry.ts.truncated)
+                first = done & jnp.logical_not(recorded)
+                rewards = jnp.where(
+                    first[:, None], new_carry.env_state.last_episode_reward, rewards
+                )
+                recorded = recorded | done
+                return (new_carry, recorded, rewards), None
+
+            (carry, recorded, rewards), _ = jax.lax.scan(
+                body, (carry, recorded, rewards), None, length=steps
+            )
+            return jnp.mean(rewards, axis=0), jnp.all(recorded)
+
+        return jax.jit(eval_fn)

@@ -1,0 +1,126 @@
+"""Algorithm quick + learning tests (parity model: the reference's two-tier harness,
+tests/algorithms_/common_quick_case.py + common_long_case.py: smoke-train, save/load
+roundtrip, then reward-baseline regression on built-in envs)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import simple_distributed_rl_tpu as srl
+from simple_distributed_rl_tpu.algorithms import DQNConfig, QLConfig
+
+
+# ---------------------------------------------------------------------------
+# quick tier
+# ---------------------------------------------------------------------------
+def test_ql_smoke_train():
+    r = srl.Runner("Grid", QLConfig(), num_envs=16, seed=0)
+    stats = r.train(max_steps=2000, progress=False)
+    assert stats["env_steps"] >= 2000
+    assert stats["train_count"] > 0
+
+
+def test_ql_save_load_roundtrip():
+    r = srl.Runner("Grid", QLConfig(), num_envs=16, seed=0)
+    r.train(max_steps=2000, progress=False)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.pkl.xz")
+        r.save_parameter(path)
+        r2 = srl.Runner("Grid", QLConfig(), num_envs=16, seed=1)
+        r2.load_parameter(path)
+        np.testing.assert_array_equal(
+            np.asarray(r.algo_state.q_table), np.asarray(r2.algo_state.q_table)
+        )
+    # training continues after load (parity: save/load-then-train case)
+    r2.train(max_steps=1000, progress=False)
+
+
+def test_dqn_smoke_train():
+    cfg = DQNConfig()
+    cfg.memory.capacity = 1000
+    cfg.memory.warmup_size = 50
+    r = srl.Runner("Grid", cfg, num_envs=16, seed=0)
+    p0 = jax.tree.leaves(r.algo_state.params)[0].copy()
+    r.train(max_steps=3000, progress=False)
+    p1 = jax.tree.leaves(r.algo_state.params)[0]
+    assert float(jnp.max(jnp.abs(p1 - p0))) > 0  # params moved
+
+
+def test_dqn_per_smoke():
+    cfg = DQNConfig()
+    cfg.memory.capacity = 1024
+    cfg.memory.warmup_size = 50
+    cfg.memory.set_proportional()
+    r = srl.Runner("Grid", cfg, num_envs=16, seed=0)
+    r.train(max_steps=3000, progress=False)
+    # priorities were written back
+    assert float(r.algo_state.memory.priorities.max()) > 0
+
+
+def test_dqn_dueling_smoke():
+    cfg = DQNConfig(dueling=True)
+    cfg.memory.capacity = 512
+    cfg.memory.warmup_size = 32
+    r = srl.Runner("Grid", cfg, num_envs=8, seed=0)
+    r.train(max_steps=1000, progress=False)
+
+
+def test_dqn_save_load():
+    cfg = DQNConfig()
+    cfg.memory.capacity = 512
+    cfg.memory.warmup_size = 32
+    r = srl.Runner("Grid", cfg, num_envs=8, seed=0)
+    r.train(max_steps=1000, progress=False)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.pkl.xz")
+        r.save_parameter(path)
+        r2 = srl.Runner("Grid", DQNConfig(), num_envs=8, seed=9)
+        r2.load_parameter(path)
+        a = jax.tree.leaves(r.algo_state.params)[0]
+        b = jax.tree.leaves(r2.algo_state.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ql_on_multiplayer_ox():
+    r = srl.Runner("OX", QLConfig(), num_envs=32, seed=0)
+    r.train(max_steps=5000, progress=False)
+    rewards = r.evaluate(64, players=[None, "random"])
+    assert rewards.shape == (2,)
+
+
+# ---------------------------------------------------------------------------
+# learning tier (still fast: vectorized lockstep makes 1M steps take seconds on CPU)
+# ---------------------------------------------------------------------------
+def test_ql_easygrid_baseline():
+    """EasyGrid baseline >= 0.9 @100 episodes (srl/envs/grid.py:44-52)."""
+    r = srl.Runner("EasyGrid", QLConfig(), num_envs=128, seed=1)
+    r.train(max_steps=200_000, progress=False)
+    assert r.evaluate_compare_to_baseline_single_player()
+
+
+def test_ql_grid_baseline():
+    """Grid baseline >= 0.65 @100 episodes (srl/envs/grid.py:25-30, optimal ~0.73)."""
+    r = srl.Runner("Grid", QLConfig(), num_envs=256, seed=1)
+    r.train(max_steps=1_000_000, progress=False)
+    assert r.evaluate_compare_to_baseline_single_player(episodes=500)
+
+
+def test_ql_oneroad_baseline():
+    r = srl.Runner("OneRoad", QLConfig(), num_envs=64, seed=1)
+    r.train(max_steps=100_000, progress=False)
+    assert r.evaluate_compare_to_baseline_single_player()
+
+
+@pytest.mark.slow
+def test_dqn_grid_baseline():
+    cfg = DQNConfig(lr=1e-3, discount=0.9, epsilon=0.2, batch_size=64,
+                    target_model_update_interval=500)
+    cfg.memory.capacity = 50_000
+    cfg.memory.warmup_size = 1000
+    r = srl.Runner("Grid", cfg, num_envs=128, seed=3)
+    r.train(max_steps=1_000_000, train_steps_per_chunk=128, progress=False)
+    assert r.evaluate_compare_to_baseline_single_player(episodes=500)

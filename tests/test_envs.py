@@ -1,0 +1,231 @@
+"""Built-in env behavior tests (parity model: tests/quick/envs_/ + srl/test/env.py's
+public env checker: space contracts, determinism via explicit state, reward/done
+semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import simple_distributed_rl_tpu as srl
+from simple_distributed_rl_tpu.envs import AutoResetEnv, make
+
+
+def rollout_random(env, key, steps=200):
+    state, ts = env.reset(key)
+    terms, rewards = 0, []
+    for i in range(steps):
+        key, k1, k2 = jax.random.split(key, 3)
+        a = env.action_space.sample(k1, ts.invalid_mask)
+        state, ts = env.step(state, a, k2)
+        rewards.append(np.asarray(ts.rewards))
+        if bool(ts.terminated):
+            terms += 1
+            key, kr = jax.random.split(key)
+            state, ts = env.reset(kr)
+    return terms, np.asarray(rewards)
+
+
+def test_registry():
+    ids = srl.envs.registered_ids()
+    for expect in ["Grid", "EasyGrid", "GridOneRoad", "OX", "OneRoad", "IGrid", "Tiger",
+                   "StoneTaking", "Othello", "CartPole-v1", "Pendulum-v1"]:
+        assert expect in ids, expect
+
+
+def test_grid_reaches_terminal():
+    env = make("Grid")
+    terms, rewards = rollout_random(env, jax.random.PRNGKey(0), 400)
+    assert terms >= 2
+    uniq = set(np.round(np.unique(rewards).astype(np.float64), 2).tolist())
+    assert uniq <= {-0.04, 1.0, -1.0}, uniq
+
+
+def test_grid_walls_block():
+    env = make("Grid")
+    # start is (1, 3); LEFT into the wall must not move
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    state2, ts2 = env.step(state, jnp.asarray(0), jax.random.PRNGKey(1))  # LEFT
+    # with move_prob .8 the move may slip up/down; but x can never go below 1
+    assert int(state2.pos[0]) >= 1
+
+
+def test_easygrid_deterministic():
+    env = make("EasyGrid")
+    # move_prob=1: DOWN from (1,3) hits bottom wall, stays
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    s2, _ = env.step(state, jnp.asarray(1), jax.random.PRNGKey(1))
+    assert tuple(np.asarray(s2.pos)) == (1, 3)
+    # RIGHT moves to (2,3)
+    s3, _ = env.step(state, jnp.asarray(2), jax.random.PRNGKey(2))
+    assert tuple(np.asarray(s3.pos)) == (2, 3)
+
+
+def test_grid_value_iteration():
+    env = make("Grid")
+    V = env.calc_state_values()
+    # optimal value from the start cell is ~0.49 (discount .9); just sanity bounds
+    assert V[3, 1] > 0.2
+
+
+def test_oneroad():
+    env = make("OneRoad")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    for i in range(10):
+        state, ts = env.step(state, jnp.asarray(0), jax.random.PRNGKey(i))
+    assert bool(ts.terminated) and float(ts.rewards[0]) == 1.0
+    # wrong action ends immediately
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    state, ts = env.step(state, jnp.asarray(1), jax.random.PRNGKey(1))
+    assert bool(ts.terminated) and float(ts.rewards[0]) == 0.0
+
+
+def test_igrid_key_switches_goal():
+    env = make("IGrid")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    # walk down to keyA (x=0 branch at bottom), then to top-left C == +1
+    assert tuple(np.asarray(state.pos)) == (1, 1)
+    seq = [1, 0]  # DOWN to (1,2)=keyrow? depends on N=0: H=3, start=(1,1)
+    s = state
+    s, _ = env.step(s, jnp.asarray(1), jax.random.PRNGKey(1))  # DOWN -> (1,2)
+    s, ts = env.step(s, jnp.asarray(0), jax.random.PRNGKey(2))  # LEFT -> (0,2) keyA
+    assert int(s.key_state) == 1
+    s, ts = env.step(s, jnp.asarray(2), jax.random.PRNGKey(3))  # RIGHT -> (1,2)
+    s, ts = env.step(s, jnp.asarray(3), jax.random.PRNGKey(4))  # UP -> (1,1)
+    s, ts = env.step(s, jnp.asarray(3), jax.random.PRNGKey(5))  # UP -> (1,0)
+    s, ts = env.step(s, jnp.asarray(0), jax.random.PRNGKey(6))  # LEFT -> (0,0) = C
+    assert bool(ts.terminated) and float(ts.rewards[0]) == 1.0
+
+
+def test_tiger_probabilities():
+    env = make("Tiger")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    # listening many times mostly reveals the tiger
+    hits = 0
+    n = 200
+    for i in range(n):
+        _, ts2 = env.step(state, jnp.asarray(0), jax.random.PRNGKey(i))
+        if int(ts2.obs) == int(state.tiger):
+            hits += 1
+    assert 0.75 < hits / n < 0.95
+
+
+def test_ox_rules():
+    env = make("OX")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    assert int(ts.next_player) == 0
+    # P1 wins on top row: moves 0,3,1,4,2
+    for a, expect_done in [(0, False), (3, False), (1, False), (4, False), (2, True)]:
+        state, ts = env.step(state, jnp.asarray(a), jax.random.PRNGKey(a))
+        assert bool(ts.terminated) == expect_done
+    np.testing.assert_allclose(np.asarray(ts.rewards), [1.0, -1.0])
+
+
+def test_ox_illegal_move_loses():
+    env = make("OX")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    state, ts = env.step(state, jnp.asarray(4), jax.random.PRNGKey(0))
+    assert bool(ts.invalid_mask[4])
+    # P2 plays the same cell -> P2 loses
+    state, ts = env.step(state, jnp.asarray(4), jax.random.PRNGKey(1))
+    assert bool(ts.terminated)
+    np.testing.assert_allclose(np.asarray(ts.rewards), [0.0, -1.0])
+
+
+def test_ox_turn_rotation():
+    env = make("OX")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    state, ts = env.step(state, jnp.asarray(0), jax.random.PRNGKey(0))
+    assert int(ts.next_player) == 1
+    state, ts = env.step(state, jnp.asarray(1), jax.random.PRNGKey(1))
+    assert int(ts.next_player) == 0
+
+
+def test_stone_taking():
+    env = make("StoneTaking")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    # take 3,3,3 -> 1 left; P2 must take it and lose
+    for a in [2, 2, 2]:
+        state, ts = env.step(state, jnp.asarray(a), jax.random.PRNGKey(a))
+    assert int(state.field) == 1 and not bool(ts.terminated)
+    state, ts = env.step(state, jnp.asarray(0), jax.random.PRNGKey(9))
+    assert bool(ts.terminated)
+    # mover was P2 (taking last stone loses): rewards [1, -1]
+    np.testing.assert_allclose(np.asarray(ts.rewards), [1.0, -1.0])
+
+
+def test_othello_open_moves():
+    env = make("Othello6x6")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    valid = ~np.asarray(ts.invalid_mask)
+    # black always has exactly 4 opening moves
+    assert valid[:-1].sum() == 4
+    a = int(np.argwhere(valid[:-1])[0])
+    state2, ts2 = env.step(state, jnp.asarray(a), jax.random.PRNGKey(1))
+    # a flip happened: black count is now 4 (3 old + placed... 2 original + placed + 1 flip)
+    assert int((np.asarray(state2.field) == 1).sum()) == 4
+    assert int(ts2.next_player) == 1
+
+
+def test_othello_random_playout_ends():
+    env = make("Othello4x4")
+    key = jax.random.PRNGKey(0)
+    state, ts = env.reset(key)
+    for i in range(60):
+        key, k1, k2 = jax.random.split(key, 3)
+        a = env.action_space.sample(k1, ts.invalid_mask)
+        state, ts = env.step(state, a, k2)
+        if bool(ts.terminated):
+            break
+    assert bool(ts.terminated)
+    assert abs(float(ts.rewards[0])) <= 1.0
+
+
+def test_cartpole_terminates():
+    env = make("CartPole-v1")
+    terms, rewards = rollout_random(env, jax.random.PRNGKey(0), 400)
+    assert terms >= 1
+    assert np.all(rewards == 1.0)
+
+
+def test_pendulum_rewards_negative():
+    env = make("Pendulum-v1")
+    terms, rewards = rollout_random(env, jax.random.PRNGKey(0), 50)
+    assert terms == 0
+    assert np.all(rewards <= 0.0)
+
+
+def test_autoreset():
+    env = make("OneRoad")
+    aenv = AutoResetEnv(env)
+    state, ts = aenv.reset(jax.random.PRNGKey(0))
+    for i in range(10):
+        state, ts = aenv.step(state, ts, jnp.asarray(0), jax.random.PRNGKey(i))
+    assert bool(ts.terminated)
+    # next step resets
+    state, ts = aenv.step(state, ts, jnp.asarray(0), jax.random.PRNGKey(99))
+    assert int(state.step_num) == 0
+    assert int(state.last_episode_steps) == 10
+    assert float(state.last_episode_reward[0]) == 1.0
+
+
+def test_autoreset_truncation():
+    env = make("Pendulum-v1", max_steps=5)
+    aenv = AutoResetEnv(env)
+    state, ts = aenv.reset(jax.random.PRNGKey(0))
+    for i in range(5):
+        state, ts = aenv.step(state, ts, jnp.zeros((1,)), jax.random.PRNGKey(i))
+    assert bool(ts.truncated) and not bool(ts.terminated)
+
+
+def test_backup_restore_is_free():
+    """The functional-state analog of EnvBase.backup/restore determinism
+    (srl/base/env/base.py:86, required for MCTS)."""
+    env = make("Grid")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    snapshot = jax.tree.map(jnp.copy, state)  # backup = the pytree itself
+    k = jax.random.PRNGKey(7)
+    s1, t1 = env.step(state, jnp.asarray(2), k)
+    s2, t2 = env.step(snapshot, jnp.asarray(2), k)
+    assert np.array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+    np.testing.assert_allclose(np.asarray(t1.rewards), np.asarray(t2.rewards))
