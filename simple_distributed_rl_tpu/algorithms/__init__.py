@@ -3,8 +3,15 @@
 from typing import Callable, Dict
 
 from .base import AlgoConfig, PolicyContext, Transition
+from .c51 import C51Config
 from .dqn import DQNConfig
+from .ppo import PPOConfig
 from .ql import QLConfig
+from .r2d2 import R2D2Config
+from .rainbow import RainbowConfig
+from .sac import SACConfig
+from .ddpg import DDPGConfig
+from .vanilla_policy import VanillaPolicyConfig
 
 _registry: Dict[str, Callable[..., AlgoConfig]] = {}
 
@@ -19,12 +26,26 @@ def make(name: str, **kwargs) -> AlgoConfig:
 
 register("QL", QLConfig)
 register("DQN", DQNConfig)
+register("C51", C51Config)
+register("Rainbow", RainbowConfig)
+register("R2D2", R2D2Config)
+register("PPO", PPOConfig)
+register("SAC", SACConfig)
+register("DDPG", DDPGConfig)
+register("VanillaPolicy", VanillaPolicyConfig)
 
 __all__ = [
     "AlgoConfig",
+    "C51Config",
+    "DDPGConfig",
     "DQNConfig",
+    "PPOConfig",
     "PolicyContext",
     "QLConfig",
+    "R2D2Config",
+    "RainbowConfig",
+    "SACConfig",
+    "VanillaPolicyConfig",
     "Transition",
     "make",
     "register",

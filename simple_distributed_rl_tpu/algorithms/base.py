@@ -52,6 +52,22 @@ class Transition:
 
 
 @struct.dataclass
+class StepView:
+    """Raw per-step record for sequence algorithms (leaves [T, B, ...] per chunk):
+    what the acting policy saw and did at each lockstep step, plus the recurrent-state
+    snapshot fed into that step."""
+
+    obs: Any  # encoded obs the policy acted on
+    action: Any  # RL-space action taken
+    reward: Array  # [P]-summed acting-player reward received after the step -> [B]
+    terminated: Array  # [B]
+    truncated: Array  # [B]
+    invalid_mask: Array  # [B, A]
+    episode_start: Array  # [B] this step's obs begins an episode
+    actor_snapshot: Any  # algo-defined (e.g. LSTM hidden before the step)
+
+
+@struct.dataclass
 class PolicyContext:
     """Per-call info available to the policy (parity: the worker shortcut properties,
     srl/base/rl/worker.py:25-147)."""
@@ -75,6 +91,11 @@ class AlgoConfig:
     # axis so learner replicas stay identical (replaces the reference's parameter
     # board + sync threads, play_mp.py:289-318).
     pmean_axis: Optional[str] = None
+    #: observation frame stacking (parity: RLConfig.window_length,
+    #: srl/base/rl/config.py:338-343 / worker_run.py:316-321). When > 1 the engine
+    #: keeps a rolling window of the last W encoded observations per env and the
+    #: algorithm sees obs with a leading [W] axis (zero-padded at episode start).
+    window_length: int = 1
 
     def get_name(self) -> str:
         raise NotImplementedError()
@@ -83,14 +104,50 @@ class AlgoConfig:
     def setup(self, env: EnvCore) -> None:
         """Resolve encoders. Mirrors RLConfig.setup (srl/base/rl/config.py:226-445) but
         produces static transforms instead of mutating runtime state."""
+        import jax.numpy as jnp
+
+        from ..spaces import ArrayDiscrete, Box, Discrete as DiscreteSpace
+
         self.env = env
         self.obs_encoder: Encoder = env.observation_space.encoder(
             self.observation_type, division=self.obs_division
         )
         self.action_encoder: Encoder = env.action_space.encoder(self.action_type)
-        self.obs_space: Space = self.obs_encoder.space
         self.action_space: Space = self.action_encoder.space
         self.num_actions: int = env.num_actions
+
+        # frame stacking: env-space -> per-step encode -> stack -> re-encode, same
+        # order as the reference (encode then stack, srl/base/rl/config.py:338-343)
+        W = self.window_length
+        if W <= 1:
+            self.obs_space: Space = self.obs_encoder.space
+            self.stack_to_obs = None
+        else:
+            step_space = self.obs_encoder.space
+            if isinstance(step_space, DiscreteSpace):
+                stacked = ArrayDiscrete(W, 0, step_space.n - 1)
+                sub = stacked.encoder(self.observation_type)
+                self.obs_space = sub.space
+                self.stack_to_obs = lambda win: sub.encode(jnp.asarray(win, jnp.int32))
+            elif isinstance(step_space, ArrayDiscrete):
+                flatW = ArrayDiscrete(
+                    W * step_space.size,
+                    tuple(step_space.low_arr.tolist()) * W,
+                    tuple(step_space.high_arr.tolist()) * W,
+                )
+                sub = flatW.encoder(self.observation_type)
+                self.obs_space = sub.space
+                self.stack_to_obs = lambda win: sub.encode(jnp.asarray(win).reshape(-1))
+            else:
+                base = step_space
+                self.obs_space = Box(
+                    (W,) + tuple(base.shape),
+                    getattr(base, "low", -jnp.inf),
+                    getattr(base, "high", jnp.inf),
+                    base.dtype,
+                    base.stype,
+                )
+                self.stack_to_obs = lambda win: win
         self.on_setup()
 
     def on_setup(self) -> None:
@@ -105,10 +162,57 @@ class AlgoConfig:
         in RL space."""
         raise NotImplementedError()
 
+    # --- recurrent/sequence support (R2D2/Agent57 family) ------------------
+    #: True -> the engine threads a per-env actor state (e.g. LSTM hidden) through the
+    #: rollout and calls policy_step instead of policy (the TPU analog of WorkerRun's
+    #: stateful worker, srl/base/rl/worker_run.py).
+    has_actor_state: bool = False
+    #: True -> the engine additionally records a per-step view (obs, action, reward,
+    #: done, invalid, actor snapshot) and calls observe_chunk with it — sequence
+    #: algorithms build replay windows from this instead of the transition slots.
+    needs_step_view: bool = False
+
+    def init_actor_state(self, key: Array, num_envs: int) -> Any:
+        return None
+
+    def policy_step(
+        self,
+        state: Any,
+        actor: Any,
+        obs: Any,
+        invalid_mask: Array,
+        ctx: PolicyContext,
+        key: Array,
+        episode_start: Array,
+    ):
+        """Recurrent action selection; returns (action, new_actor_state).
+        ``episode_start`` [B] marks envs whose current obs begins a fresh episode —
+        reset recurrent state there."""
+        raise NotImplementedError()
+
+    def actor_snapshot(self, actor: Any) -> Any:
+        """What to record in the step view BEFORE each step (e.g. the LSTM hidden fed
+        into this step, needed to replay burn-in at train time)."""
+        return None
+
+    def observe_chunk(self, state: Any, transitions: "Transition", mask: Array, step_view: Any) -> Any:
+        """Chunk ingestion for needs_step_view algorithms. ``step_view`` is a StepView
+        pytree with leaves [T, B, ...]."""
+        return self.observe(state, transitions, mask)
+
     def observe(self, state: Any, transitions: Transition, mask: Array) -> Any:
-        """Write a flat batch of transitions (leading dim N, with validity mask) into
-        the algorithm's memory."""
+        """Ingest one chunk of transitions. Leaves are [T, N, ...] where T = scan steps
+        and N = num_envs * (1 + player_num) transition slots per step; ``mask`` [T, N]
+        marks valid entries. Time order is preserved for on-policy algorithms (GAE);
+        replay algorithms call ``flatten_transitions`` first."""
         return state
+
+    @staticmethod
+    def flatten_transitions(transitions: Transition, mask: Array) -> Tuple[Transition, Array]:
+        flat = jax.tree.map(
+            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), transitions
+        )
+        return flat, mask.reshape(-1)
 
     def train(self, state: Any, key: Array, num_steps: int) -> Tuple[Any, Dict[str, Array]]:
         """Run ``num_steps`` (static) parameter updates."""

@@ -158,6 +158,7 @@ class DQNConfig(AlgoConfig):
         return funcs.epsilon_greedy(q, invalid_mask, eps, key)
 
     def observe(self, state: DQNState, t: Transition, mask) -> DQNState:
+        t, mask = self.flatten_transitions(t, mask)
         if self.enable_reward_clip:
             t = t.replace(reward=jnp.sign(t.reward))
         return state.replace(memory=self._replay.add_masked(state.memory, t, mask))

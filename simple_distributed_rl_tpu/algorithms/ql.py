@@ -76,6 +76,7 @@ class QLConfig(AlgoConfig):
     def observe(self, state: QLState, t: Transition, mask) -> QLState:
         """Batched TD(0) update with invalid-action masking on the next state
         (parity: ql trainer, srl/algorithms/ql.py:106-132)."""
+        t, mask = self.flatten_transitions(t, mask)
         lr = self._lr_sch(state.train_count)
         n_q = state.q_table[t.next_obs]  # [N, A]
         n_q = jnp.where(t.next_invalid_mask, -jnp.inf, n_q)

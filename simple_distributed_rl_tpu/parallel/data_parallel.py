@@ -104,14 +104,17 @@ class DataParallelEngine:
             def body(c, _):
                 return engine._rollout_step(c, training)
 
-            carry, (transitions, masks) = jax.lax.scan(body, carry, None, length=chunk_steps)
+            carry, (transitions, masks, step_views) = jax.lax.scan(
+                body, carry, None, length=chunk_steps
+            )
             metrics = {}
             if training:
-                flat_t = jax.tree.map(
-                    lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), transitions
-                )
-                flat_m = masks.reshape(-1)
-                algo_state = self.algo.observe(carry.algo_state, flat_t, flat_m)
+                if self.algo.needs_step_view:
+                    algo_state = self.algo.observe_chunk(
+                        carry.algo_state, transitions, masks, step_views
+                    )
+                else:
+                    algo_state = self.algo.observe(carry.algo_state, transitions, masks)
                 key, k_train = jax.random.split(carry.key)
                 if train_steps_per_chunk > 0:
                     algo_state, metrics = self.algo.train(algo_state, k_train, train_steps_per_chunk)

@@ -74,8 +74,10 @@ class EngineState:
     env_state: Any  # vmapped AutoResetState
     ts: Any  # vmapped TimeStep
     enc_obs: Any  # [B, ...] current encoded observation
+    obs_window: Any  # [B, W, ...] rolling per-step-encoded obs (None when W == 1)
     pending: PendingState
     algo_state: Any
+    actor_state: Any  # per-env recurrent policy state (None for stateless algos)
     step: Array  # int32 lockstep counter (one unit = B parallel env steps)
     episode_count: Array  # int32 completed episodes (cumulative)
     episode_reward_sum: Array  # [P] sum of finished-episode total rewards
@@ -105,16 +107,52 @@ class PlayEngine:
         # vmapped env fns
         self._v_reset = jax.vmap(self.aenv.reset)
         self._v_step = jax.vmap(self.aenv.step)
-        self._v_obs_enc = jax.vmap(algo.obs_encoder.encode)
         self._v_act_dec = jax.vmap(algo.action_encoder.decode)
         self._v_act_enc = jax.vmap(algo.action_encoder.encode)
         self._v_sample = jax.vmap(env.action_space.sample)
+
+        # observation pipeline: per-step encode, then optional frame stacking
+        # (window_length parity, srl/base/rl/worker_run.py:316-321)
+        self.W = int(getattr(algo, "window_length", 1))
+        self._v_step_obs_enc = jax.vmap(algo.obs_encoder.encode)
+        if self.W > 1:
+            self._v_stack = jax.vmap(algo.stack_to_obs)
+
+    def _push_window(self, window, step_obs, was_reset):
+        """Roll the [B, W, ...] window left, zeroing on episode reset, and insert the
+        new per-step encoded obs at the end."""
+
+        def upd(win, so):
+            z = jnp.zeros_like(win)
+            m = was_reset.reshape((-1,) + (1,) * (win.ndim - 1))
+            win = jnp.where(m, z, win)
+            win = jnp.roll(win, -1, axis=1)
+            return win.at[:, -1].set(so)
+
+        return jax.tree.map(upd, window, step_obs)
+
+    def _encode_obs(self, window, raw_obs, was_reset):
+        """Returns (new_window, final encoded obs [B, ...])."""
+        step_obs = self._v_step_obs_enc(raw_obs)
+        if self.W <= 1:
+            return None, step_obs
+        window = self._push_window(window, step_obs, was_reset)
+        return window, self._v_stack(window)
 
     # ------------------------------------------------------------------
     def init(self, key: Array) -> EngineState:
         k_env, k_algo, key = jax.random.split(key, 3)
         env_state, ts = self._v_reset(jax.random.split(k_env, self.num_envs))
-        enc_obs = self._v_obs_enc(ts.obs)
+        if self.W > 1:
+            step_obs = self._v_step_obs_enc(ts.obs)
+            window = jax.tree.map(
+                lambda x: jnp.zeros((x.shape[0], self.W) + x.shape[1:], x.dtype), step_obs
+            )
+            window = jax.tree.map(lambda w, s: w.at[:, -1].set(s), window, step_obs)
+            enc_obs = self._v_stack(window)
+        else:
+            window = None
+            enc_obs = self._v_step_obs_enc(ts.obs)
         algo_state = self.algo.init(k_algo)
 
         B, P = self.num_envs, self.P
@@ -131,8 +169,10 @@ class PlayEngine:
             env_state=env_state,
             ts=ts,
             enc_obs=enc_obs,
+            obs_window=window,
             pending=pending,
             algo_state=algo_state,
+            actor_state=self.algo.init_actor_state(key, self.num_envs),
             step=jnp.asarray(0, jnp.int32),
             episode_count=jnp.asarray(0, jnp.int32),
             episode_reward_sum=jnp.zeros((P,), jnp.float32),
@@ -140,8 +180,9 @@ class PlayEngine:
         )
 
     # ------------------------------------------------------------------
-    def _select_actions(self, carry: EngineState, training: bool, keys) -> Tuple[Any, Any]:
-        """Returns (env_action [B,...], rl_action [B,...]) for the acting players."""
+    def _select_actions(self, carry: EngineState, training: bool, keys) -> Tuple[Any, Any, Any]:
+        """Returns (env_action [B,...], rl_action [B,...], new_actor_state) for the
+        acting players."""
         k_policy, k_rand = keys
         B = self.num_envs
         ts = carry.ts
@@ -150,11 +191,24 @@ class PlayEngine:
             training=jnp.asarray(training, jnp.bool_),
             env_ids=jnp.arange(B, dtype=jnp.int32),
         )
-        a_rl = self.algo.policy(carry.algo_state, carry.enc_obs, ts.invalid_mask, ctx, k_policy)
+        if self.algo.has_actor_state:
+            episode_start = carry.env_state.step_num == 0
+            a_rl, actor_state = self.algo.policy_step(
+                carry.algo_state,
+                carry.actor_state,
+                carry.enc_obs,
+                ts.invalid_mask,
+                ctx,
+                k_policy,
+                episode_start,
+            )
+        else:
+            a_rl = self.algo.policy(carry.algo_state, carry.enc_obs, ts.invalid_mask, ctx, k_policy)
+            actor_state = carry.actor_state
         a_env = self._v_act_dec(a_rl)
 
         if all(c == MAIN for c in self.player_codes):
-            return a_env, a_rl
+            return a_env, a_rl, actor_state
 
         a_rand_env = self._v_sample(jax.random.split(k_rand, B), ts.invalid_mask)
         codes = jnp.asarray(self.player_codes, jnp.int32)[ts.next_player]  # [B]
@@ -165,7 +219,7 @@ class PlayEngine:
             return jnp.where(mask, m, r)
 
         a_env_sel = jax.tree.map(sel, a_env, a_rand_env)
-        return a_env_sel, a_rl
+        return a_env_sel, a_rl, actor_state
 
     # ------------------------------------------------------------------
     def _rollout_step(self, carry: EngineState, training: bool):
@@ -176,7 +230,11 @@ class PlayEngine:
         idx = jnp.arange(B)
         pending = carry.pending
 
-        a_env, a_rl = self._select_actions(carry, training, (k_policy, k_rand))
+        actor_snapshot = (
+            self.algo.actor_snapshot(carry.actor_state) if self.algo.needs_step_view else None
+        )
+        episode_start = carry.env_state.step_num == 0
+        a_env, a_rl, actor_state = self._select_actions(carry, training, (k_policy, k_rand))
 
         codes = jnp.asarray(self.player_codes, jnp.int32)[p]
         # when the previous timestep ended the episode, this step is an auto-reset: the
@@ -221,7 +279,8 @@ class PlayEngine:
         )
 
         # --- T2: episode end flushes every pending slot with the terminal view
-        enc_obs2 = self._v_obs_enc(ts2.obs)
+        was_reset = jnp.logical_not(live)  # this step performed an auto-reset
+        window2, enc_obs2 = self._encode_obs(carry.obs_window, ts2.obs, was_reset)
         done = jnp.logical_or(ts2.terminated, ts2.truncated)  # [B]
         undone2 = jnp.where(ts2.terminated, 0.0, 1.0)
         t2 = Transition(
@@ -248,13 +307,32 @@ class PlayEngine:
         if not training:
             mask = jnp.zeros_like(mask)
 
+        if self.algo.needs_step_view:
+            from ..algorithms.base import StepView
+
+            acting_reward = ts2.rewards[idx, p]  # the acting player's immediate reward
+            step_view = StepView(
+                obs=carry.enc_obs,
+                action=a_rl,
+                reward=acting_reward,
+                terminated=ts2.terminated,
+                truncated=ts2.truncated,
+                invalid_mask=ts.invalid_mask,
+                episode_start=episode_start,
+                actor_snapshot=actor_snapshot,
+            )
+        else:
+            step_view = None
+
         new_carry = EngineState(
             key=key,
             env_state=env_state,
             ts=ts2,
             enc_obs=enc_obs2,
+            obs_window=window2,
             pending=pending,
             algo_state=carry.algo_state,
+            actor_state=actor_state,
             step=carry.step + 1,
             episode_count=carry.episode_count + jnp.sum(done.astype(jnp.int32)),
             episode_reward_sum=carry.episode_reward_sum
@@ -263,7 +341,7 @@ class PlayEngine:
             ),
             env_steps=carry.env_steps + B,
         )
-        return new_carry, (transitions, mask)
+        return new_carry, (transitions, mask, step_view)
 
     # ------------------------------------------------------------------
     def build_chunk(self, chunk_steps: int, train_steps_per_chunk: Optional[int] = None, training: bool = True):
@@ -276,15 +354,20 @@ class PlayEngine:
             def body(c, _):
                 return self._rollout_step(c, training)
 
-            carry, (transitions, masks) = jax.lax.scan(body, carry, None, length=chunk_steps)
+            carry, (transitions, masks, step_views) = jax.lax.scan(
+                body, carry, None, length=chunk_steps
+            )
             metrics: Dict[str, Array] = {}
             if training:
-                # flatten time into the batch: [T, N, ...] -> [T*N, ...]
-                flat_t = jax.tree.map(
-                    lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), transitions
-                )
-                flat_m = masks.reshape(-1)
-                algo_state = self.algo.observe(carry.algo_state, flat_t, flat_m)
+                # transitions keep their scan structure [T, B*(1+P), ...] — on-policy
+                # algorithms need time order for GAE; replay algorithms flatten via
+                # base.flatten_transitions
+                if self.algo.needs_step_view:
+                    algo_state = self.algo.observe_chunk(
+                        carry.algo_state, transitions, masks, step_views
+                    )
+                else:
+                    algo_state = self.algo.observe(carry.algo_state, transitions, masks)
                 key, k_train = jax.random.split(carry.key)
                 if train_steps_per_chunk > 0:
                     algo_state, metrics = self.algo.train(algo_state, k_train, train_steps_per_chunk)

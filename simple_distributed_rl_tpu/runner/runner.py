@@ -73,6 +73,10 @@ class Runner:
         srl/base/context.py max_steps/max_train_count/timeout). ``max_steps`` counts
         TOTAL env steps across the vectorized batch."""
         assert max_steps or max_train_count or timeout, "need a stop condition"
+        # sequence algorithms (R2D2 family) pin the chunk length to their window size
+        required = getattr(self.algo, "required_chunk_steps", None)
+        if required is not None:
+            chunk_steps = required
         if self._chunk_fn is None or self._chunk_steps != chunk_steps:
             self._chunk_fn = self.engine.build_chunk(chunk_steps, train_steps_per_chunk, training=True)
             self._chunk_steps = chunk_steps
@@ -169,35 +173,92 @@ class Runner:
         return results
 
     # --- render -----------------------------------------------------------
-    def render_terminal(self, max_steps: int = 100) -> float:
-        """Play one host-driven episode, printing env frames (parity:
-        Runner.render_terminal via the render cache, runner/runner.py:801)."""
+    def _play_episode_host(self, max_steps: int, on_frame=None) -> float:
+        """Host-driven single episode with the trained policy (greedy); calls
+        ``on_frame(env, state, info_line)`` after reset and each step."""
+        from ..algorithms.base import PolicyContext
+
         key = jax.random.PRNGKey(self.seed + 2)
         k_reset, key = jax.random.split(key)
         state, ts = self.env.reset(k_reset)
+        win = None
+        W = getattr(self.algo, "window_length", 1)
         total = 0.0
-        self.env.render_terminal(state)
-        for _ in range(max_steps):
-            from ..algorithms.base import PolicyContext
-
-            key, k_pol = jax.random.split(key)
+        if on_frame:
+            on_frame(self.env, state, "")
+        actor = None
+        if self.algo.has_actor_state:
+            actor = self.algo.init_actor_state(key, 1)
+        for step_i in range(max_steps):
+            key, k_pol, k_step = jax.random.split(key, 3)
             enc = self.algo.obs_encoder.encode(ts.obs)
+            if W > 1:
+                if win is None:
+                    win = jax.tree.map(
+                        lambda x: jnp.zeros((W,) + x.shape, x.dtype), enc
+                    )
+                win = jax.tree.map(lambda w, s: jnp.roll(w, -1, 0).at[-1].set(s), win, enc)
+                enc = self.algo.stack_to_obs(win)
             ctx = PolicyContext(
                 step=jnp.asarray(0),
                 training=jnp.asarray(False),
                 env_ids=jnp.zeros((1,), jnp.int32),
             )
             batched = jax.tree.map(lambda x: x[None], enc)
-            a_rl = self.algo.policy(self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol)
+            if self.algo.has_actor_state:
+                a_rl, actor = self.algo.policy_step(
+                    self.algo_state, actor, batched, ts.invalid_mask[None], ctx, k_pol,
+                    jnp.asarray([step_i == 0]),
+                )
+            else:
+                a_rl = self.algo.policy(
+                    self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol
+                )
             a_env = self.algo.action_encoder.decode(jax.tree.map(lambda x: x[0], a_rl))
-            key, k_step = jax.random.split(key)
             state, ts = self.env.step(state, a_env, k_step)
             total += float(ts.rewards[0])
-            print(f"action: {self.env.action_to_str(np.asarray(a_env))} reward: {float(ts.rewards[0]):.3f}")
-            self.env.render_terminal(state)
+            info = (
+                f"action: {self.env.action_to_str(np.asarray(a_env))}"
+                f" reward: {float(ts.rewards[0]):.3f}"
+            )
+            if on_frame:
+                on_frame(self.env, state, info)
             if bool(ts.terminated) or bool(ts.truncated):
                 break
         return total
+
+    def render_terminal(self, max_steps: int = 100) -> float:
+        """Play one host-driven episode, printing env frames (parity:
+        Runner.render_terminal via the render cache, runner/runner.py:801)."""
+
+        def on_frame(env, state, info):
+            if info:
+                print(info)
+            env.render_terminal(state)
+
+        return self._play_episode_host(max_steps, on_frame)
+
+    def animation_save_gif(self, path: str, max_steps: int = 100, fps: float = 2.0) -> float:
+        """Replay one greedy episode and save it as a gif (parity:
+        Runner.animation_save_gif, runner/runner.py:1019)."""
+        from .render import env_frame, save_gif
+
+        frames = []
+
+        def on_frame(env, state, info):
+            frames.append(env_frame(env, state))
+
+        total = self._play_episode_host(max_steps, on_frame)
+        save_gif(frames, path, fps)
+        return total
+
+    # --- config serialization ---------------------------------------------
+    def save_config(self, path: str) -> None:
+        """yaml round-trip of the algorithm config (parity: Runner/RLConfig yaml
+        save, srl/base/context.py:211-260)."""
+        from ..utils import serialize
+
+        serialize.save_yaml(self.algo, path)
 
     # --- persistence ------------------------------------------------------
     def save_parameter(self, path: str) -> None:

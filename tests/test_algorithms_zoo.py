@@ -1,0 +1,181 @@
+"""Quick-tier tests for the wider algorithm zoo (parity model:
+tests/algorithms_/common_quick_case.py applied per algorithm: short train, eval,
+save/load)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import simple_distributed_rl_tpu as srl
+from simple_distributed_rl_tpu.algorithms import (
+    C51Config,
+    DDPGConfig,
+    PPOConfig,
+    RainbowConfig,
+    SACConfig,
+    VanillaPolicyConfig,
+)
+
+
+def _smoke(env_id, cfg, num_envs=16, steps=3000, **train_kwargs):
+    r = srl.Runner(env_id, cfg, num_envs=num_envs, seed=0)
+    r.train(max_steps=steps, progress=False, **train_kwargs)
+    rewards = r.evaluate(16)
+    assert np.isfinite(rewards).all()
+    return r
+
+
+def test_c51_smoke():
+    cfg = C51Config()
+    cfg.memory.capacity = 1000
+    cfg.memory.warmup_size = 100
+    _smoke("Grid", cfg)
+
+
+def test_rainbow_smoke():
+    cfg = RainbowConfig(multisteps=3)
+    cfg.memory.capacity = 1024
+    cfg.memory.warmup_size = 100
+    r = _smoke("Grid", cfg)
+    assert float(r.algo_state.memory.priorities.max()) > 0  # PER in use
+
+
+def test_rainbow_noisy_smoke():
+    cfg = RainbowConfig(enable_noisy_dense=True, multisteps=1)
+    cfg.memory.capacity = 512
+    cfg.memory.warmup_size = 64
+    _smoke("Grid", cfg, steps=1500)
+
+
+def test_rainbow_actor_ladder():
+    cfg = RainbowConfig(num_actors=8, multisteps=1)
+    cfg.memory.capacity = 512
+    cfg.memory.warmup_size = 64
+    _smoke("Grid", cfg, steps=1500)
+
+
+def test_ppo_discrete_smoke():
+    _smoke("Grid", PPOConfig(discount=0.9), steps=5000, chunk_steps=32)
+
+
+def test_ppo_continuous_smoke():
+    _smoke("Pendulum-v1", PPOConfig(), steps=5000, chunk_steps=32)
+
+
+def test_sac_continuous_smoke():
+    cfg = SACConfig()
+    cfg.memory.capacity = 2000
+    cfg.memory.warmup_size = 100
+    _smoke("Pendulum-v1", cfg)
+
+
+def test_sac_discrete_smoke():
+    cfg = SACConfig()
+    cfg.memory.capacity = 2000
+    cfg.memory.warmup_size = 100
+    _smoke("Grid", cfg)
+
+
+def test_ddpg_smoke():
+    cfg = DDPGConfig()
+    cfg.memory.capacity = 2000
+    cfg.memory.warmup_size = 100
+    _smoke("Pendulum-v1", cfg)
+
+
+def test_vanilla_policy_smoke():
+    _smoke("Grid", VanillaPolicyConfig())
+
+
+# --- learning tier -----------------------------------------------------------
+def test_vanilla_policy_grid_baseline():
+    r = srl.Runner("Grid", VanillaPolicyConfig(), num_envs=128, seed=3)
+    r.train(max_steps=500_000, progress=False)
+    rewards = r.evaluate(300)
+    assert float(rewards[0]) >= 0.5  # near-optimal is ~0.73
+
+
+def test_rainbow_grid_baseline():
+    cfg = RainbowConfig(discount=0.9, multisteps=3)
+    cfg.memory.capacity = 20_000
+    cfg.memory.warmup_size = 500
+    r = srl.Runner("Grid", cfg, num_envs=128, seed=3)
+    r.train(max_steps=400_000, train_steps_per_chunk=64, progress=False)
+    rewards = r.evaluate(300)
+    assert float(rewards[0]) >= 0.5
+
+
+@pytest.mark.slow
+def test_ppo_cartpole_learning():
+    cfg = PPOConfig(entropy_coef=0.01)
+    r = srl.Runner("CartPole-v1", cfg, num_envs=256, seed=3)
+    r.train(max_steps=1_500_000, chunk_steps=64, progress=False)
+    rewards = r.evaluate(64)
+    assert float(rewards[0]) >= 150.0
+
+
+@pytest.mark.slow
+def test_sac_pendulum_learning():
+    cfg = SACConfig()
+    cfg.memory.capacity = 50_000
+    cfg.memory.warmup_size = 1000
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=64, seed=3)
+    r.train(max_steps=300_000, train_steps_per_chunk=64, progress=False)
+    rewards = r.evaluate(64)
+    assert float(rewards[0]) >= -900.0
+
+
+def test_nstep_returns_correctness():
+    """Hand-checked n-step window construction."""
+    from simple_distributed_rl_tpu.algorithms.base import Transition
+    from simple_distributed_rl_tpu.algorithms.common import nstep_returns
+
+    # one env, 4 valid transitions, episode ends at index 2 (undone=0)
+    L = 6
+    valid = jnp.asarray([[True, True, True, True, False, False]])
+    seq = Transition(
+        obs=jnp.asarray([[0, 1, 2, 10, 0, 0]]),
+        action=jnp.zeros((1, L), jnp.int32),
+        reward=jnp.asarray([[1.0, 2.0, 4.0, 8.0, 0.0, 0.0]]),
+        next_obs=jnp.asarray([[1, 2, 3, 11, 0, 0]]),
+        undone=jnp.asarray([[1.0, 1.0, 0.0, 1.0, 0.0, 0.0]]),
+        invalid_mask=jnp.zeros((1, L, 2), bool),
+        next_invalid_mask=jnp.zeros((1, L, 2), bool),
+    )
+    out, mask, bdisc = nstep_returns(seq, valid, n=2, discount=0.5)
+    m = np.asarray(mask[0])
+    # idx0: r0 + 0.5*r1 = 2.0, bootstrap from entry 1 (next_obs 2), undone 1
+    assert m[0]
+    assert float(out.reward[0, 0]) == pytest.approx(2.0)
+    assert int(out.next_obs[0, 0]) == 2
+    assert float(out.undone[0, 0]) == 1.0
+    assert float(bdisc[0, 0]) == pytest.approx(0.25)
+    # idx1: r1 + 0.5*r2 = 4.0, window closed by terminal at idx2 -> undone 0
+    assert m[1]
+    assert float(out.reward[0, 1]) == pytest.approx(4.0)
+    assert float(out.undone[0, 1]) == 0.0
+    # idx2: closed immediately (terminal), 1-entry window valid
+    assert m[2]
+    assert float(out.reward[0, 2]) == pytest.approx(4.0)
+    # idx3: tail window (new episode, no terminal, only 1 entry) -> masked
+    assert not m[3]
+
+
+def test_masked_gae_correctness():
+    from simple_distributed_rl_tpu.algorithms.common import masked_gae
+
+    # two transitions with a gap between them; terminal at the end
+    rewards = jnp.asarray([[1.0, 0.0, 2.0]])
+    values = jnp.asarray([[0.5, 0.0, 0.25]])
+    next_values = jnp.asarray([[0.25, 0.0, 0.9]])
+    undone = jnp.asarray([[1.0, 0.0, 0.0]])
+    valid = jnp.asarray([[True, False, True]])
+    gamma, lam = 0.9, 0.8
+    adv, ret = masked_gae(rewards, values, next_values, undone, valid, gamma, lam)
+    # index2: terminal: delta = 2 - 0.25 = 1.75
+    assert float(adv[0, 2]) == pytest.approx(1.75)
+    # index0: delta0 + gamma*lam*A2 (gap passes through)
+    delta0 = 1.0 + gamma * 0.25 - 0.5
+    assert float(adv[0, 0]) == pytest.approx(delta0 + gamma * lam * 1.75)
+    assert float(adv[0, 1]) == 0.0

@@ -56,6 +56,7 @@ class RecordingAlgo(AlgoConfig):
         return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
     def observe(self, state, t, mask):
+        t, mask = self.flatten_transitions(t, mask)
         return RecState(
             memory=self._buf.add_masked(state.memory, t, mask),
             count=state.count + mask.sum(),

@@ -1,0 +1,134 @@
+"""R2D2 / window_length / render / history / serialize tests."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import simple_distributed_rl_tpu as srl
+from simple_distributed_rl_tpu.algorithms import DQNConfig, QLConfig, R2D2Config
+
+
+def test_r2d2_smoke():
+    cfg = R2D2Config(burnin=2, sequence_length=6, lstm_units=16, capacity=500, warmup_size=20)
+    r = srl.Runner("Grid", cfg, num_envs=8, seed=0)
+    r.train(max_steps=2000, progress=False)
+    rewards = r.evaluate(8)
+    assert np.isfinite(rewards).all()
+    # sequences stored: capacity counts sequences, each chunk adds num_envs
+    assert int(r.algo_state.memory.size) > 0
+
+
+def test_r2d2_save_load():
+    cfg = R2D2Config(burnin=2, sequence_length=6, lstm_units=16, capacity=200, warmup_size=20)
+    r = srl.Runner("Grid", cfg, num_envs=8, seed=0)
+    r.train(max_steps=1000, progress=False)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.pkl.xz")
+        r.save_parameter(p)
+        cfg2 = R2D2Config(burnin=2, sequence_length=6, lstm_units=16, capacity=200, warmup_size=20)
+        r2 = srl.Runner("Grid", cfg2, num_envs=8, seed=1)
+        r2.load_parameter(p)
+        a = jax.tree.leaves(r.algo_state.params)[0]
+        b = jax.tree.leaves(r2.algo_state.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_r2d2_tiger_pomdp():
+    """Tiger needs memory — the LSTM must integrate noisy listens (reference
+    baseline: >= 0.0 @1000 episodes, srl/envs/tiger.py:56-57)."""
+    cfg = R2D2Config(
+        burnin=2, sequence_length=16, lstm_units=32, capacity=5000, warmup_size=100,
+        discount=0.95, epsilon=0.2, enable_rescale=False,
+    )
+    r = srl.Runner("Tiger", cfg, num_envs=128, seed=3)
+    r.train(max_steps=600_000, train_steps_per_chunk=32, progress=False)
+    rewards = r.evaluate(500)
+    assert float(rewards[0]) >= 0.0
+
+
+def test_ql_window_length_tiger():
+    """window_length frame stacking solves Tiger with tabular QL (parity: the
+    reference's Tiger + window_length test)."""
+    cfg = QLConfig(window_length=10, epsilon=0.2, discount=0.95)
+    r = srl.Runner("Tiger", cfg, num_envs=256, seed=2)
+    r.train(max_steps=1_500_000, progress=False)
+    rewards = r.evaluate(500)
+    assert float(rewards[0]) >= -0.05
+
+
+def test_dqn_window_smoke():
+    cfg = DQNConfig(window_length=4)
+    cfg.memory.capacity = 500
+    cfg.memory.warmup_size = 50
+    r = srl.Runner("Grid", cfg, num_envs=8, seed=0)
+    r.train(max_steps=1000, progress=False)
+    # stacked obs space
+    assert cfg.obs_space.shape == (4, 2)
+
+
+def test_animation_gif():
+    r = srl.Runner("Grid", QLConfig(), num_envs=16, seed=0)
+    r.train(max_steps=2000, progress=False)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ep.gif")
+        r.animation_save_gif(p, max_steps=20)
+        assert os.path.getsize(p) > 100
+
+
+def test_history_file_and_viewer():
+    from simple_distributed_rl_tpu.runner import HistoryOnFile
+    from simple_distributed_rl_tpu.runner.history_viewer import HistoryViewer
+
+    with tempfile.TemporaryDirectory() as d:
+        r = srl.Runner("Grid", QLConfig(), num_envs=16, seed=0)
+        r.train(max_steps=30_000, callbacks=[HistoryOnFile(d)], progress=False)
+        v = HistoryViewer(d)
+        df = v.to_df()
+        assert len(df) >= 1
+        assert "env_steps" in df.columns
+        v.plot(show=False, save_path=os.path.join(d, "plot.png"))
+        assert os.path.exists(os.path.join(d, "plot.png"))
+
+
+def test_checkpoint_callback():
+    from simple_distributed_rl_tpu.runner import Checkpoint
+
+    with tempfile.TemporaryDirectory() as d:
+        r = srl.Runner("Grid", QLConfig(), num_envs=16, seed=0)
+        r.train(max_steps=30_000, callbacks=[Checkpoint(d, interval=0.0)], progress=False)
+        latest = Checkpoint.latest(d)
+        assert latest is not None
+        r2 = srl.Runner("Grid", QLConfig(), num_envs=16, seed=1)
+        r2.load_parameter(latest)
+
+
+def test_config_yaml_roundtrip():
+    from simple_distributed_rl_tpu.utils import serialize
+
+    cfg = DQNConfig(lr=0.005, epsilon=0.3)
+    cfg.memory.capacity = 777
+    d = serialize.dataclass_to_dict(cfg)
+    assert d["lr"] == 0.005
+    assert d["memory"]["capacity"] == 777
+    cfg2 = serialize.instantiate(d)
+    assert type(cfg2).__name__ == "DQNConfig"
+    assert cfg2.lr == 0.005 and cfg2.memory.capacity == 777
+    diff = serialize.get_modified_fields(cfg)
+    assert diff["lr"] == 0.005
+    assert "discount" not in diff
+
+
+def test_config_yaml_file_roundtrip():
+    from simple_distributed_rl_tpu.utils import serialize
+
+    with tempfile.TemporaryDirectory() as d:
+        cfg = QLConfig(lr=0.42)
+        p = os.path.join(d, "cfg.yaml")
+        serialize.save_yaml(cfg, p)
+        cfg2 = serialize.load_yaml(p)
+        assert cfg2.lr == 0.42
