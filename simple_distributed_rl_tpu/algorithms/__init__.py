@@ -2,9 +2,12 @@
 
 from typing import Callable, Dict
 
+from .agent57_light import Agent57LightConfig
 from .base import AlgoConfig, PolicyContext, Transition
 from .c51 import C51Config
 from .dqn import DQNConfig
+from .dynaq import DynaQConfig
+from .mcts import MCTSConfig
 from .ppo import PPOConfig
 from .ql import QLConfig
 from .r2d2 import R2D2Config
@@ -33,12 +36,18 @@ register("PPO", PPOConfig)
 register("SAC", SACConfig)
 register("DDPG", DDPGConfig)
 register("VanillaPolicy", VanillaPolicyConfig)
+register("MCTS", MCTSConfig)
+register("DynaQ", DynaQConfig)
+register("Agent57_light", Agent57LightConfig)
 
 __all__ = [
+    "Agent57LightConfig",
     "AlgoConfig",
     "C51Config",
     "DDPGConfig",
     "DQNConfig",
+    "DynaQConfig",
+    "MCTSConfig",
     "PPOConfig",
     "PolicyContext",
     "QLConfig",

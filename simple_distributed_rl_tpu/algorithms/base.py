@@ -75,6 +75,16 @@ class PolicyContext:
     step: Array  # global env-step counter (per-shard)
     training: Array  # bool
     env_ids: Array  # [B] int32 — actor-ladder index (parity: actor_id epsilon ladders)
+    # raw vmapped env state + timestep, for search algorithms that simulate with the
+    # env model (the functional analog of env.backup/restore handed to MCTS-family
+    # workers, srl/base/env/base.py:86 + mcts.py:88-91). None unless the algorithm
+    # sets needs_env_state.
+    env_state: Any = None
+    timestep: Any = None
+    # [B, P] rewards emitted by the PREVIOUS lockstep step (0 at t=0) — the "prev
+    # reward" UVFA input and per-episode reward bookkeeping of the Agent57 family
+    # (agent57_light.py on_reset/on_step prev_reward_* plumbing)
+    prev_rewards: Any = None
 
 
 @dataclasses.dataclass
@@ -86,11 +96,22 @@ class AlgoConfig:
     observation_type: RLBaseTypes = RLBaseTypes.BOX
     action_type: RLBaseTypes = RLBaseTypes.DISCRETE
     obs_division: int = 10  # quantization grid when discretizing continuous obs
+    #: observation processors applied before the RL encode (parity: the processor
+    #: chain, srl/base/rl/config.py get_processors + rl/processors/)
+    processors: list = dataclasses.field(default_factory=list)
     # Mesh axis name for data-parallel gradient sync; set by DataParallelEngine.
     # Inside train/observe, algorithms pmean/psum their update statistics over this
     # axis so learner replicas stay identical (replaces the reference's parameter
     # board + sync threads, play_mp.py:289-318).
     pmean_axis: Optional[str] = None
+    #: True -> the engine passes the raw env state/timestep in PolicyContext so the
+    #: policy can run simulations with the env model (MCTS/AlphaZero/MuZero family;
+    #: parity: RLConfig.use_backup_restore, srl/algorithms/mcts.py:29-30)
+    needs_env_state: bool = False
+    #: True -> policy returns (action, new_algo_state): search algorithms accumulate
+    #: statistics during action selection (parity: MCTS worker mutating its parameter
+    #: in policy + update_parameter_from_worker, mcts.py:66-67,86-103)
+    policy_updates_state: bool = False
     #: observation frame stacking (parity: RLConfig.window_length,
     #: srl/base/rl/config.py:338-343 / worker_run.py:316-321). When > 1 the engine
     #: keeps a rolling window of the last W encoded observations per env and the
@@ -109,9 +130,19 @@ class AlgoConfig:
         from ..spaces import ArrayDiscrete, Box, Discrete as DiscreteSpace
 
         self.env = env
-        self.obs_encoder: Encoder = env.observation_space.encoder(
-            self.observation_type, division=self.obs_division
-        )
+        all_procs = list(self.processors) + list(self.get_processors(env.observation_space))
+        if all_procs:
+            from ..processors import apply_processors
+
+            proc_space, proc_fn = apply_processors(env.observation_space, all_procs)
+            inner = proc_space.encoder(self.observation_type, division=self.obs_division)
+            self.obs_encoder = Encoder(
+                inner.space, lambda x: inner.encode(proc_fn(x)), inner.decode
+            )
+        else:
+            self.obs_encoder: Encoder = env.observation_space.encoder(
+                self.observation_type, division=self.obs_division
+            )
         self.action_encoder: Encoder = env.action_space.encoder(self.action_type)
         self.action_space: Space = self.action_encoder.space
         self.num_actions: int = env.num_actions
@@ -152,6 +183,11 @@ class AlgoConfig:
 
     def on_setup(self) -> None:
         pass
+
+    def get_processors(self, obs_space: Space) -> list:
+        """Algorithm-supplied processors (parity: RLConfig.get_processors — e.g. DQN's
+        input block emitting the 84x84-gray Atari pipeline, dqn/dqn.py:106-108)."""
+        return []
 
     # --- pure functions ---------------------------------------------------
     def init(self, key: Array) -> Any:

@@ -1,0 +1,109 @@
+"""Observation processors — static space remaps + jittable value transforms.
+
+Parity: srl/rl/processors/ (ImageProcessor resize/gray/normalize,
+DownSamplingProcessor, NormalizeProcessor) and the env-side AtariProcessor
+(srl/envs/processors/atari_processor.py). A processor is a pure pair
+(remap_space, remap) applied between the env observation space and the RL encode —
+the whole pipeline is resolved at trace time (the TPU form of the reference's
+processor chain, srl/base/env/env_run.py:40-73 + rl/config get_processors).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .define import SpaceTypes
+from .spaces import Box, Space
+
+
+class Processor:
+    def remap_space(self, space: Space) -> Space:
+        return space
+
+    def remap(self, x):
+        """Pure, jittable value transform matching remap_space."""
+        return x
+
+
+@dataclasses.dataclass
+class ImageProcessor(Processor):
+    """Resize / grayscale / normalize image observations (parity:
+    srl/rl/processors/image_processor.py:18)."""
+
+    resize: Tuple[int, int] = (84, 84)  # (H, W)
+    grayscale: bool = True
+    normalize: bool = False  # -> float32 in [0, 1]
+
+    def remap_space(self, space: Space) -> Space:
+        assert isinstance(space, Box) and space.stype.is_image(), f"not an image space: {space}"
+        h, w = self.resize
+        if self.grayscale:
+            shape, stype = (h, w, 1), SpaceTypes.GRAY_3ch
+        else:
+            c = space.shape[-1] if len(space.shape) == 3 else 1
+            shape, stype = (h, w, c), space.stype
+        if self.normalize:
+            return Box(shape, 0.0, 1.0, jnp.float32, stype)
+        return Box(shape, 0, 255, jnp.uint8, stype)
+
+    def remap(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 2:
+            x = x[..., None]
+        if self.grayscale and x.shape[-1] == 3:
+            x = jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
+        h, w = self.resize
+        x = jax.image.resize(x, (h, w, x.shape[-1]), method="bilinear")
+        if self.normalize:
+            return (x / 255.0).astype(jnp.float32)
+        return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
+@dataclasses.dataclass
+class DownSamplingProcessor(Processor):
+    """Stride-subsample an image (parity: srl/rl/processors/download... the
+    reference's DownSamplingProcessor)."""
+
+    factor: int = 2
+
+    def remap_space(self, space: Space) -> Space:
+        assert isinstance(space, Box)
+        h, w = space.shape[0] // self.factor, space.shape[1] // self.factor
+        rest = tuple(space.shape[2:])
+        return Box((h, w) + rest, space.low, space.high, space.dtype, space.stype)
+
+    def remap(self, x):
+        return x[:: self.factor, :: self.factor]
+
+
+@dataclasses.dataclass
+class NormalizeProcessor(Processor):
+    """Affine-normalize a bounded space to [0, 1] (parity: NormalizeProcessor)."""
+
+    def remap_space(self, space: Space) -> Space:
+        assert isinstance(space, Box) and space.is_bounded
+        self._low, self._high = space.low, space.high
+        return Box(space.shape, 0.0, 1.0, jnp.float32, space.stype)
+
+    def remap(self, x):
+        return ((jnp.asarray(x, jnp.float32) - self._low) / (self._high - self._low)).astype(
+            jnp.float32
+        )
+
+
+def apply_processors(space: Space, processors: List[Processor]):
+    """Resolve the full pipeline. Returns (final_space, jittable transform fn)."""
+    out_space = space
+    for p in processors:
+        out_space = p.remap_space(out_space)
+
+    def fn(x):
+        for p in processors:
+            x = p.remap(x)
+        return x
+
+    return out_space, fn

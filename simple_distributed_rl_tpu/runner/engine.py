@@ -190,11 +190,15 @@ class PlayEngine:
             step=carry.step,
             training=jnp.asarray(training, jnp.bool_),
             env_ids=jnp.arange(B, dtype=jnp.int32),
+            env_state=carry.env_state.env_state if self.algo.needs_env_state else None,
+            timestep=ts if self.algo.needs_env_state else None,
+            prev_rewards=ts.rewards,
         )
+        algo_state = carry.algo_state
         if self.algo.has_actor_state:
             episode_start = carry.env_state.step_num == 0
             a_rl, actor_state = self.algo.policy_step(
-                carry.algo_state,
+                algo_state,
                 carry.actor_state,
                 carry.enc_obs,
                 ts.invalid_mask,
@@ -202,13 +206,18 @@ class PlayEngine:
                 k_policy,
                 episode_start,
             )
+        elif self.algo.policy_updates_state:
+            a_rl, algo_state = self.algo.policy(
+                algo_state, carry.enc_obs, ts.invalid_mask, ctx, k_policy
+            )
+            actor_state = carry.actor_state
         else:
-            a_rl = self.algo.policy(carry.algo_state, carry.enc_obs, ts.invalid_mask, ctx, k_policy)
+            a_rl = self.algo.policy(algo_state, carry.enc_obs, ts.invalid_mask, ctx, k_policy)
             actor_state = carry.actor_state
         a_env = self._v_act_dec(a_rl)
 
         if all(c == MAIN for c in self.player_codes):
-            return a_env, a_rl, actor_state
+            return a_env, a_rl, actor_state, algo_state
 
         a_rand_env = self._v_sample(jax.random.split(k_rand, B), ts.invalid_mask)
         codes = jnp.asarray(self.player_codes, jnp.int32)[ts.next_player]  # [B]
@@ -219,7 +228,7 @@ class PlayEngine:
             return jnp.where(mask, m, r)
 
         a_env_sel = jax.tree.map(sel, a_env, a_rand_env)
-        return a_env_sel, a_rl, actor_state
+        return a_env_sel, a_rl, actor_state, algo_state
 
     # ------------------------------------------------------------------
     def _rollout_step(self, carry: EngineState, training: bool):
@@ -234,7 +243,9 @@ class PlayEngine:
             self.algo.actor_snapshot(carry.actor_state) if self.algo.needs_step_view else None
         )
         episode_start = carry.env_state.step_num == 0
-        a_env, a_rl, actor_state = self._select_actions(carry, training, (k_policy, k_rand))
+        a_env, a_rl, actor_state, algo_state_post_policy = self._select_actions(
+            carry, training, (k_policy, k_rand)
+        )
 
         codes = jnp.asarray(self.player_codes, jnp.int32)[p]
         # when the previous timestep ended the episode, this step is an auto-reset: the
@@ -331,7 +342,7 @@ class PlayEngine:
             enc_obs=enc_obs2,
             obs_window=window2,
             pending=pending,
-            algo_state=carry.algo_state,
+            algo_state=algo_state_post_policy,
             actor_state=actor_state,
             step=carry.step + 1,
             episode_count=carry.episode_count + jnp.sum(done.astype(jnp.int32)),
@@ -344,9 +355,21 @@ class PlayEngine:
         return new_carry, (transitions, mask, step_view)
 
     # ------------------------------------------------------------------
-    def build_chunk(self, chunk_steps: int, train_steps_per_chunk: Optional[int] = None, training: bool = True):
+    def build_chunk(
+        self,
+        chunk_steps: int,
+        train_steps_per_chunk: Optional[int] = None,
+        training: bool = True,
+        chunks_per_call: int = 1,
+    ):
         """Compile: T lockstep rollout steps (scan) -> one batched memory write ->
-        K train updates. Returns jitted fn: EngineState -> (EngineState, metrics)."""
+        K train updates. Returns jitted fn: EngineState -> (EngineState, metrics).
+
+        ``chunks_per_call`` > 1 scans several chunks inside ONE jit call: XLA updates
+        the replay/param buffers in place across the inner iterations, so the
+        unavoidable copy of the carry at the host-call boundary amortizes — this is
+        the cheap, alias-safe alternative to buffer donation (env obs may alias env
+        state, which XLA's donation checker rejects)."""
         if train_steps_per_chunk is None:
             train_steps_per_chunk = max(1, chunk_steps // self.algo.train_interval) if training else 0
 
@@ -374,11 +397,18 @@ class PlayEngine:
                 carry = carry.replace(algo_state=algo_state, key=key)
             return carry, metrics
 
-        # NOTE: no buffer donation yet — env TimeStep.obs may alias env state leaves
-        # (e.g. Grid returns its position as the observation), which XLA rejects as a
-        # double-donation. The perf pass will deduplicate aliases and re-enable
-        # donation so the replay buffer is updated in place.
-        return jax.jit(chunk)
+        if chunks_per_call <= 1:
+            return jax.jit(chunk)
+
+        def multi_chunk(carry: EngineState):
+            def body(c, _):
+                c, m = chunk(c)
+                return c, m
+
+            carry, metrics = jax.lax.scan(body, carry, None, length=chunks_per_call)
+            return carry, jax.tree.map(lambda x: x[-1], metrics)
+
+        return jax.jit(multi_chunk)
 
     # ------------------------------------------------------------------
     def build_eval(self, num_episodes: int, max_steps: Optional[int] = None):

@@ -121,6 +121,86 @@ class Runner:
             c.on_end(self)
         return stats
 
+    def train_mp(
+        self,
+        max_steps: Optional[int] = None,
+        timeout: Optional[float] = None,
+        chunk_steps: int = 32,
+        train_steps_per_chunk: Optional[int] = None,
+        num_devices: Optional[int] = None,
+        progress: bool = True,
+    ) -> Dict[str, Any]:
+        """Data-parallel training over the device mesh — the TPU-native successor of
+        the reference's multiprocess actor-learner (Runner.train_mp,
+        srl/runner/runner.py:310 + base/run/play_mp.py): env shards and replay shards
+        per device, gradients pmean'd over ICI, replicas never diverge. Collapses back
+        to ``train`` when only one device is visible."""
+        from ..parallel import DataParallelEngine, make_mesh
+
+        assert max_steps or timeout, "need a stop condition"
+        mesh = make_mesh(num_devices)
+        if mesh.devices.size <= 1:
+            return self.train(
+                max_steps=max_steps, timeout=timeout, chunk_steps=chunk_steps,
+                train_steps_per_chunk=train_steps_per_chunk, progress=progress,
+            )
+        per_shard = max(1, self.num_envs // mesh.devices.size)
+        dp = DataParallelEngine(self.env, self.algo, per_shard, mesh=mesh, players=self.players)
+        required = getattr(self.algo, "required_chunk_steps", None)
+        if required is not None:
+            chunk_steps = required
+        fn = dp.build_chunk(chunk_steps, train_steps_per_chunk, training=True)
+        carry = dp.init(jax.random.PRNGKey(self.seed))
+        t0 = time.time()
+        if progress:
+            print(f"### train_mp: {mesh.devices.size} devices x {per_shard} envs")
+        while True:
+            carry, metrics = fn(carry)
+            steps = int(np.sum(np.asarray(carry.env_steps)))
+            if max_steps and steps >= max_steps:
+                break
+            if timeout and time.time() - t0 >= timeout:
+                break
+        # adopt shard 0's replicated learner state into the single-device carry
+        params = jax.tree.map(lambda x: x[0], self.algo.params_of(carry.algo_state))
+        self._carry = self.carry.replace(
+            algo_state=self.algo.restore_params(self.algo_state, params)
+        )
+        elapsed = time.time() - t0
+        if progress:
+            print(f"### train_mp done: {steps:,} steps in {elapsed:.1f}s ({steps/elapsed:,.0f} st/s)")
+        return {"env_steps": steps, "elapsed": elapsed}
+
+    def model_summary(self) -> str:
+        """Tabulated model summary (parity: Runner.model_summary,
+        runner/runner.py:1323, via flax tabulate when the algorithm has a model)."""
+        model = getattr(self.algo, "model", None)
+        if model is None:
+            s = f"{self.algo.get_name()}: tabular/parametric state "
+            s += str(jax.tree.map(jnp.shape, self.algo.params_of(self.algo_state)))
+            print(s)
+            return s
+        import flax.linen as nn
+
+        obs0 = jax.tree.map(lambda x: x[None], self.algo.obs_space.zero())
+        try:
+            s = nn.tabulate(model, jax.random.PRNGKey(0))(obs0)
+        except TypeError:
+            s = f"{model}"
+        print(s)
+        return s
+
+    def save_memory(self, path: str) -> None:
+        """(parity: Runner.save_memory / RLMemory backup, srl/base/rl/memory.py:119-150)"""
+        mem = getattr(self.algo_state, "memory", None)
+        assert mem is not None, f"{self.algo.get_name()} has no memory"
+        save_compressed(jax.device_get(mem), path)
+
+    def load_memory(self, path: str) -> None:
+        mem = load_compressed(path)
+        mem = jax.tree.map(jnp.asarray, mem)
+        self._carry = self.carry.replace(algo_state=self.algo_state.replace(memory=mem))
+
     def rollout(self, max_steps: int, chunk_steps: int = 32) -> Dict[str, Any]:
         """Collect experience without training (parity: Runner.rollout,
         runner/runner.py:185)."""
@@ -199,16 +279,26 @@ class Runner:
                     )
                 win = jax.tree.map(lambda w, s: jnp.roll(w, -1, 0).at[-1].set(s), win, enc)
                 enc = self.algo.stack_to_obs(win)
+            batched = jax.tree.map(lambda x: x[None], enc)
             ctx = PolicyContext(
                 step=jnp.asarray(0),
                 training=jnp.asarray(False),
                 env_ids=jnp.zeros((1,), jnp.int32),
+                env_state=jax.tree.map(lambda x: x[None], state)
+                if self.algo.needs_env_state
+                else None,
+                timestep=jax.tree.map(lambda x: x[None], ts)
+                if self.algo.needs_env_state
+                else None,
             )
-            batched = jax.tree.map(lambda x: x[None], enc)
             if self.algo.has_actor_state:
                 a_rl, actor = self.algo.policy_step(
                     self.algo_state, actor, batched, ts.invalid_mask[None], ctx, k_pol,
                     jnp.asarray([step_i == 0]),
+                )
+            elif self.algo.policy_updates_state:
+                a_rl, _ = self.algo.policy(
+                    self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol
                 )
             else:
                 a_rl = self.algo.policy(

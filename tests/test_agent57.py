@@ -1,0 +1,74 @@
+"""Agent57-light tests: smoke, UCB arm rotation, intrinsic rewards, train_mp API."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import simple_distributed_rl_tpu as srl
+from simple_distributed_rl_tpu.algorithms import Agent57LightConfig, QLConfig
+
+
+def _cfg(**kw):
+    cfg = Agent57LightConfig(actor_num=4, episodic_memory_capacity=64, **kw)
+    cfg.memory.capacity = 2000
+    cfg.memory.warmup_size = 100
+    return cfg
+
+
+def test_a57l_smoke():
+    r = srl.Runner("Grid", _cfg(), num_envs=8, seed=0)
+    r.train(max_steps=2000, progress=False)
+    rewards = r.evaluate(8)
+    assert np.isfinite(rewards).all()
+
+
+def test_a57l_ucb_arms_rotate():
+    r = srl.Runner("Grid", _cfg(), num_envs=8, seed=0)
+    r.train(max_steps=5000, progress=False)
+    counts = np.asarray(r.carry.actor_state.ucb_count)
+    # every arm tried at least once on some env
+    assert (counts.sum(0) > 8).all()
+
+
+def test_a57l_intrinsic_rewards_positive():
+    r = srl.Runner("Grid", _cfg(), num_envs=8, seed=0)
+    r.train(max_steps=1000, progress=False)
+    n = int(r.algo_state.memory.base.size)
+    r_int = np.asarray(r.algo_state.memory.base.data.r_int[:n])
+    assert (r_int > 0).all()  # episodic x lifelong bonuses are strictly positive
+    assert r_int.std() > 0  # and state-dependent
+
+
+def test_a57l_save_load():
+    import os
+    import tempfile
+
+    r = srl.Runner("Grid", _cfg(), num_envs=8, seed=0)
+    r.train(max_steps=1000, progress=False)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "p.pkl.xz")
+        r.save_parameter(p)
+        r2 = srl.Runner("Grid", _cfg(), num_envs=8, seed=1)
+        r2.load_parameter(p)
+
+
+@pytest.mark.slow
+def test_a57l_grid_learning():
+    cfg = _cfg()
+    cfg.lr_ext = 1e-3
+    cfg.memory.capacity = 20_000
+    r = srl.Runner("Grid", cfg, num_envs=64, seed=3)
+    r.train(max_steps=500_000, train_steps_per_chunk=64, progress=False)
+    rewards = r.evaluate(200)
+    assert float(rewards[0]) >= 0.3
+
+
+def test_train_mp_api():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    r = srl.Runner("EasyGrid", QLConfig(), num_envs=64, seed=1)
+    stats = r.train_mp(max_steps=50_000, progress=False)
+    assert stats["env_steps"] >= 50_000
+    rewards = r.evaluate(50)
+    assert float(rewards[0]) > 0.5

@@ -160,7 +160,7 @@ def test_othello_open_moves():
     valid = ~np.asarray(ts.invalid_mask)
     # black always has exactly 4 opening moves
     assert valid[:-1].sum() == 4
-    a = int(np.argwhere(valid[:-1])[0])
+    a = int(np.argwhere(valid[:-1])[0][0])
     state2, ts2 = env.step(state, jnp.asarray(a), jax.random.PRNGKey(1))
     # a flip happened: black count is now 4 (3 old + placed... 2 original + placed + 1 flip)
     assert int((np.asarray(state2.field) == 1).sum()) == 4
