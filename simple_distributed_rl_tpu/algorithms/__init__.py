@@ -3,6 +3,7 @@
 from typing import Callable, Dict
 
 from .agent57_light import Agent57LightConfig
+from .alphazero import AlphaZeroConfig
 from .base import AlgoConfig, PolicyContext, Transition
 from .c51 import C51Config
 from .dqn import DQNConfig
@@ -39,9 +40,11 @@ register("VanillaPolicy", VanillaPolicyConfig)
 register("MCTS", MCTSConfig)
 register("DynaQ", DynaQConfig)
 register("Agent57_light", Agent57LightConfig)
+register("AlphaZero", AlphaZeroConfig)
 
 __all__ = [
     "Agent57LightConfig",
+    "AlphaZeroConfig",
     "AlgoConfig",
     "C51Config",
     "DDPGConfig",
