@@ -9,6 +9,7 @@ from .c51 import C51Config
 from .dqn import DQNConfig
 from .dynaq import DynaQConfig
 from .mcts import MCTSConfig
+from .muzero import MuZeroConfig
 from .ppo import PPOConfig
 from .ql import QLConfig
 from .r2d2 import R2D2Config
@@ -41,6 +42,7 @@ register("MCTS", MCTSConfig)
 register("DynaQ", DynaQConfig)
 register("Agent57_light", Agent57LightConfig)
 register("AlphaZero", AlphaZeroConfig)
+register("MuZero", MuZeroConfig)
 
 __all__ = [
     "Agent57LightConfig",
@@ -51,6 +53,7 @@ __all__ = [
     "DQNConfig",
     "DynaQConfig",
     "MCTSConfig",
+    "MuZeroConfig",
     "PPOConfig",
     "PolicyContext",
     "QLConfig",
