@@ -12,8 +12,10 @@ from .mcts import MCTSConfig
 from .muzero import MuZeroConfig
 from .ppo import PPOConfig
 from .ql import QLConfig
+from .ql_agent57 import QLAgent57Config
 from .r2d2 import R2D2Config
 from .rainbow import RainbowConfig
+from .snd import SNDConfig
 from .sac import SACConfig
 from .ddpg import DDPGConfig
 from .vanilla_policy import VanillaPolicyConfig
@@ -41,8 +43,10 @@ register("VanillaPolicy", VanillaPolicyConfig)
 register("MCTS", MCTSConfig)
 register("DynaQ", DynaQConfig)
 register("Agent57_light", Agent57LightConfig)
+register("QL_agent57", QLAgent57Config)
 register("AlphaZero", AlphaZeroConfig)
 register("MuZero", MuZeroConfig)
+register("SND", SNDConfig)
 
 __all__ = [
     "Agent57LightConfig",
@@ -56,10 +60,12 @@ __all__ = [
     "MuZeroConfig",
     "PPOConfig",
     "PolicyContext",
+    "QLAgent57Config",
     "QLConfig",
     "R2D2Config",
     "RainbowConfig",
     "SACConfig",
+    "SNDConfig",
     "VanillaPolicyConfig",
     "Transition",
     "make",
