@@ -7,10 +7,14 @@ from .alphazero import AlphaZeroConfig
 from .base import AlgoConfig, PolicyContext, Transition
 from .c51 import C51Config
 from .dqn import DQNConfig
+from .dreamer_v3 import DreamerV3Config
 from .dynaq import DynaQConfig
 from .mcts import MCTSConfig
 from .muzero import MuZeroConfig
+from .no_target import NoTargetDQNConfig, NoTargetSACConfig
+from .planet import PlaNetConfig
 from .ppo import PPOConfig
+from .ppo_v import PPOVConfig
 from .ql import QLConfig
 from .ql_agent57 import QLAgent57Config
 from .r2d2 import R2D2Config
@@ -47,6 +51,11 @@ register("QL_agent57", QLAgent57Config)
 register("AlphaZero", AlphaZeroConfig)
 register("MuZero", MuZeroConfig)
 register("SND", SNDConfig)
+register("DreamerV3", DreamerV3Config)
+register("PlaNet", PlaNetConfig)
+register("NoTarget_DQN", NoTargetDQNConfig)
+register("NoTarget_SAC", NoTargetSACConfig)
+register("PPO_V", PPOVConfig)
 
 __all__ = [
     "Agent57LightConfig",
@@ -55,10 +64,15 @@ __all__ = [
     "C51Config",
     "DDPGConfig",
     "DQNConfig",
+    "DreamerV3Config",
     "DynaQConfig",
     "MCTSConfig",
     "MuZeroConfig",
+    "NoTargetDQNConfig",
+    "NoTargetSACConfig",
+    "PlaNetConfig",
     "PPOConfig",
+    "PPOVConfig",
     "PolicyContext",
     "QLAgent57Config",
     "QLConfig",

@@ -23,8 +23,14 @@ from .base import Transition
 Array = jax.Array
 
 
-def to_env_sequences(transitions: Transition, mask: Array, num_envs: int) -> Tuple[Transition, Array]:
-    """[T, B*S, ...] slot grid -> per-env chronological sequences [B, T*S, ...]."""
+def to_env_sequences(transitions: Transition, mask: Array, num_envs: int):
+    """[T, B*S, ...] slot grid -> per-env chronological sequences [B, T*S, ...].
+
+    Returns (seq, valid, is_final): ``is_final`` marks entries emitted from the T2
+    (episode-flush) slots — the LAST transition of an episode whether it terminated or
+    truncated. Truncated finals have undone=1 (they may bootstrap) but are still hard
+    sequence boundaries: n-step windows, lambda-chains and MC returns must not cross
+    them."""
     T, N = mask.shape
     S = N // num_envs
 
@@ -33,7 +39,12 @@ def to_env_sequences(transitions: Transition, mask: Array, num_envs: int) -> Tup
         y = jnp.moveaxis(y, 0, 1)
         return y.reshape((num_envs, T * S) + x.shape[2:])
 
-    return jax.tree.map(r, transitions), r(mask)
+    # slot 0 is the T1 (mid-episode) slot; slots 1..S-1 are T2 flush slots
+    slot_final = jnp.tile(
+        jnp.arange(S)[None, :] > 0, (T, num_envs)
+    ).reshape(T, num_envs * S)
+    valid = r(mask)
+    return jax.tree.map(r, transitions), valid, r(slot_final) & valid
 
 
 def compact_sequences(seq: Any, valid: Array) -> Tuple[Any, Array]:
@@ -53,7 +64,7 @@ def compact_sequences(seq: Any, valid: Array) -> Tuple[Any, Array]:
 
 
 def nstep_returns(
-    seq: Transition, valid: Array, n: int, discount: float
+    seq: Transition, valid: Array, n: int, discount: float, is_final: Array = None
 ) -> Tuple[Transition, Array, Array]:
     """n-step transitions from per-env chronological 1-step sequences [B, L] (parity:
     Rainbow multistep, srl/algorithms/rainbow/).
@@ -64,7 +75,9 @@ def nstep_returns(
     next_obs/undone come from the last consumed entry; bootstrap_discount is
     gamma^k for the Q-bootstrap. Windows that run off the chunk tail without closing
     are masked out (< (n-1)/L of samples for typical chunks)."""
-    seq, in_range = compact_sequences(seq, valid)
+    if is_final is None:
+        is_final = (seq.undone == 0.0) & valid
+    (seq, is_final_c), in_range = compact_sequences((seq, is_final), valid)
     B, L = in_range.shape
 
     def shift(x, j):
@@ -83,13 +96,16 @@ def nstep_returns(
     for j in range(n):
         rj = shift(seq.reward, j)
         uj = shift(seq.undone, j)
+        fj = shift(is_final_c.astype(jnp.float32), j)
         inr = shift(in_range.astype(jnp.float32), j)
         take = alive * inr  # [B, L] 0/1
         reward = reward + (discount**j) * rj * take
         k_last = jnp.where(take > 0, j, k_last)
         undone_out = jnp.where(take > 0, uj, undone_out)
-        closed = jnp.logical_or(closed, (take > 0) & (uj == 0.0))
-        alive = take * uj  # next entry consumed only if this one didn't terminate
+        # the window closes at any episode-final entry (terminated OR truncated);
+        # truncated finals keep undone=1 so the bootstrap still applies
+        closed = jnp.logical_or(closed, (take > 0) & (fj > 0))
+        alive = take * uj * (1.0 - fj)
 
     consumed = k_last + 1
     # valid window: base entry in range AND (closed by a terminal OR n full entries)
@@ -121,14 +137,22 @@ def masked_gae(
     valid: Array,
     discount: float,
     gae_lambda: float,
+    is_final: Array = None,
 ) -> Tuple[Array, Array]:
     """GAE over per-env chronological sequences [B, L] with invalid slots (parity: the
     GAE path of srl/algorithms/ppo/ppo.py). Backward scan; invalid entries pass the
     accumulator through unchanged (chronology makes this exact: within an episode the
     next valid entry IS the next transition, and terminals stop the recursion via
     undone=0). Returns (advantages, returns), zero at invalid entries."""
+    if is_final is None:
+        is_final = (undone == 0.0) & valid
     delta = rewards + discount * undone * next_values - values
     delta = jnp.where(valid, delta, 0.0)
+
+    # the lambda-chain must break at EVERY episode-final entry: terminated (undone=0
+    # kills the term anyway) and truncated (undone=1, bootstrap stays in delta, but
+    # the accumulator must not leak into the previous episode)
+    chain = undone * (1.0 - is_final.astype(jnp.float32))
 
     def step(carry, x):
         d, u, v = x
@@ -139,7 +163,7 @@ def masked_gae(
     _, adv_rev = jax.lax.scan(
         step,
         jnp.zeros(rewards.shape[0]),
-        (delta.T[::-1], undone.T[::-1], valid.T[::-1]),
+        (delta.T[::-1], chain.T[::-1], valid.T[::-1]),
     )
     adv = adv_rev[::-1].T
     adv = jnp.where(valid, adv, 0.0)

@@ -1,0 +1,207 @@
+"""Target-network-free variants (parity: srl/algorithms/dqn_not/ NoTarget_DQN and
+srl/algorithms/sac_not/ — the author's originals that drop the target network).
+
+NoTarget_DQN (dqn_not/trainer.py): a (Q, V) twin-head net; bootstrap target
+r + gamma * (max Q(s') + V(s')) / 2 from the DETACHED online net, plus an "align
+loss" pulling Q(s, a) toward the stored discounted return-to-go
+(dqn_not/config.py:28-32 max_discount_steps / align_loss_coeff). The return-to-go is
+computed chunk-wide by reverse scan (episodes completing in-chunk).
+
+NoTarget_SAC: SAC with the soft target computed from the detached online twin
+critics (no target copies, no tau)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..define import RLBaseTypes
+from ..models.blocks import InputBlockConfig, MLPBlock
+from ..utils import rl_functions as funcs
+from ..utils.schedulers import SchedulerConfig
+from .base import AlgoConfig, PolicyContext, Transition
+from .common import masked_update, to_env_sequences
+from .dqn import MemoryConfig
+from .sac import SACConfig, SACState
+
+Array = jax.Array
+
+
+class QVNet(nn.Module):
+    num_actions: int
+    obs_space: Any
+    input_block: InputBlockConfig
+    hidden: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.input_block.create_block(self.obs_space)(jnp.asarray(x, jnp.float32))
+        h = MLPBlock(self.hidden)(h)
+        q = nn.Dense(self.num_actions)(h)
+        v = nn.Dense(1)(h)[..., 0]
+        return q, v
+
+
+@struct.dataclass
+class NoTDQNState:
+    params: Any
+    opt_state: Any
+    memory: Any
+    train_count: Array
+
+
+@struct.dataclass
+class NoTItem:
+    t: Transition
+    total_reward: Array  # discounted return-to-go (align target)
+
+
+@dataclasses.dataclass
+class NoTargetDQNConfig(AlgoConfig):
+    test_epsilon: float = 0.0
+    epsilon: float = 0.1
+    epsilon_scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    discount: float = 0.995
+    align_loss_coeff: float = 0.1
+    batch_size: int = 32
+    memory: MemoryConfig = dataclasses.field(default_factory=MemoryConfig)
+    lr: float = 2e-4
+    input_block: InputBlockConfig = dataclasses.field(default_factory=InputBlockConfig)
+    hidden_sizes: Tuple[int, ...] = (128, 128)
+
+    observation_type: RLBaseTypes = RLBaseTypes.BOX
+    action_type: RLBaseTypes = RLBaseTypes.DISCRETE
+
+    def get_name(self) -> str:
+        return "NoTarget_DQN"
+
+    def on_setup(self) -> None:
+        self._eps_sch = self.epsilon_scheduler.create(self.epsilon)
+        self._replay = self.memory.create()
+        self.model = QVNet(self.action_space.n, self.obs_space, self.input_block, self.hidden_sizes)
+        self._tx = optax.adam(self.lr)
+
+    def _example_item(self) -> NoTItem:
+        A = self.num_actions
+        return NoTItem(
+            t=Transition(
+                obs=self.obs_space.zero(),
+                action=jnp.asarray(0, jnp.int32),
+                reward=jnp.asarray(0.0),
+                next_obs=self.obs_space.zero(),
+                undone=jnp.asarray(1.0),
+                invalid_mask=jnp.zeros((A,), bool),
+                next_invalid_mask=jnp.zeros((A,), bool),
+            ),
+            total_reward=jnp.asarray(0.0),
+        )
+
+    def init(self, key: Array) -> NoTDQNState:
+        params = self.model.init(key, self.obs_space.zero()[None])
+        return NoTDQNState(
+            params=params,
+            opt_state=self._tx.init(params),
+            memory=self._replay.init(self._example_item()),
+            train_count=jnp.asarray(0, jnp.int32),
+        )
+
+    def policy(self, state: NoTDQNState, obs, invalid_mask, ctx: PolicyContext, key) -> Array:
+        eps = jnp.where(ctx.training, self._eps_sch(ctx.step), self.test_epsilon)
+        q, _ = self.model.apply(state.params, obs)
+        return funcs.epsilon_greedy(q, invalid_mask, eps, key)
+
+    def observe(self, state: NoTDQNState, t: Transition, mask) -> NoTDQNState:
+        num_envs = mask.shape[1] // (1 + self.env.player_num)
+        seq, valid, is_final = to_env_sequences(t, mask, num_envs)
+        B, L = valid.shape
+
+        # discounted return-to-go over the chronological sequence; only entries whose
+        # episode finishes inside the chunk get a defined value
+        chain = seq.undone * (1.0 - is_final.astype(jnp.float32))
+
+        def back(carry, x):
+            r, u, v = x
+            ret = jnp.where(v, r + self.discount * u * carry, carry)
+            return ret, ret
+
+        _, rets = jax.lax.scan(
+            back,
+            jnp.zeros((B,)),
+            (seq.reward.T[::-1], chain.T[::-1], valid.T[::-1]),
+        )
+        total_reward = rets[::-1].T  # [B, L]
+
+        def fwd(carry, f):
+            done_seen = jnp.logical_or(carry, f)
+            return done_seen, done_seen
+
+        _, completed = jax.lax.scan(
+            fwd, jnp.zeros((B,), bool), is_final.T[::-1]
+        )
+        completed = completed[::-1].T
+
+        item = NoTItem(t=seq, total_reward=total_reward)
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), item)
+        m = (valid & completed).reshape(-1)
+        return state.replace(memory=self._replay.add_masked(state.memory, flat, m))
+
+    def train(self, state: NoTDQNState, key: Array, num_steps: int) -> Tuple[NoTDQNState, Dict[str, Array]]:
+        def one_update(st: NoTDQNState, k):
+            item, _ = self._replay.sample_with_indices(st.memory, k, self.batch_size)
+            batch = item.t
+
+            def loss_fn(params):
+                q_all, _ = self.model.apply(params, batch.obs)
+                n_q, n_v = self.model.apply(params, batch.next_obs)
+                n_q = jax.lax.stop_gradient(n_q)
+                n_v = jax.lax.stop_gradient(n_v)
+                neg = jnp.finfo(jnp.float32).min
+                n_q = jnp.where(batch.next_invalid_mask, neg, n_q)
+                n_maxq = jnp.max(n_q, -1)
+                target = batch.reward + batch.undone * self.discount * (n_maxq + n_v) / 2.0
+                qa = jnp.take_along_axis(q_all, batch.action[:, None], -1)[:, 0]
+                l_q = jnp.mean(optax.huber_loss(qa, jax.lax.stop_gradient(target)))
+                l_align = jnp.mean(jnp.square(qa - item.total_reward))
+                return l_q + self.align_loss_coeff * l_align
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            if self.pmean_axis is not None:
+                grads = jax.lax.pmean(grads, self.pmean_axis)
+            updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            ready = self._replay.is_warmup_over(st.memory)
+            params = masked_update(ready, new_params, st.params)
+            opt_state = masked_update(ready, opt_state, st.opt_state)
+            return (
+                st.replace(
+                    params=params, opt_state=opt_state,
+                    train_count=st.train_count + ready.astype(jnp.int32),
+                ),
+                loss,
+            )
+
+        state, losses = jax.lax.scan(one_update, state, jax.random.split(key, num_steps))
+        return state, {"loss": jnp.mean(losses), "train_count": state.train_count.astype(jnp.float32)}
+
+    def params_of(self, state: NoTDQNState):
+        return state.params
+
+    def restore_params(self, state: NoTDQNState, p) -> NoTDQNState:
+        return state.replace(params=p)
+
+
+@dataclasses.dataclass
+class NoTargetSACConfig(SACConfig):
+    """SAC without target critics: the soft bootstrap uses the detached online twins
+    (parity: srl/algorithms/sac_not/)."""
+
+    soft_target_tau: float = 1.0  # target == online every step
+
+    def get_name(self) -> str:
+        return "NoTarget_SAC"

@@ -57,6 +57,7 @@ class PPOState:
     opt_state: Any
     rollout: Any  # stashed chunk (Transition sequences) or None placeholder
     rollout_mask: Array
+    rollout_final: Array
     kl_coef: Array
     train_count: Array
 
@@ -119,6 +120,7 @@ class PPOConfig(AlgoConfig):
             opt_state=self._tx.init(params),
             rollout=None,
             rollout_mask=jnp.zeros((0, 0), jnp.bool_),
+            rollout_final=jnp.zeros((0, 0), jnp.bool_),
             kl_coef=jnp.asarray(0.5, jnp.float32),
             train_count=jnp.asarray(0, jnp.int32),
         )
@@ -149,8 +151,8 @@ class PPOConfig(AlgoConfig):
 
     def observe(self, state: PPOState, t: Transition, mask) -> PPOState:
         num_envs = mask.shape[1] // (1 + self.env.player_num)
-        seq, valid = to_env_sequences(t, mask, num_envs)
-        return state.replace(rollout=seq, rollout_mask=valid)
+        seq, valid, is_final = to_env_sequences(t, mask, num_envs)
+        return state.replace(rollout=seq, rollout_mask=valid, rollout_final=is_final)
 
     def _unscale_action(self, a_env):
         # inverse of _scale_action, for log-prob computation in tanh-space
@@ -191,12 +193,12 @@ class PPOConfig(AlgoConfig):
             # monte-carlo returns = GAE with lambda=1
             adv, ret = masked_gae(
                 seq.reward, v_old.reshape(B, L), v_next.reshape(B, L), seq.undone,
-                valid, self.discount, 1.0,
+                valid, self.discount, 1.0, state.rollout_final,
             )
         else:
             adv, ret = masked_gae(
                 seq.reward, v_old.reshape(B, L), v_next.reshape(B, L), seq.undone,
-                valid, self.discount, self.gae_lambda,
+                valid, self.discount, self.gae_lambda, state.rollout_final,
             )
         adv_flat = adv.reshape(-1)
         ret_flat = ret.reshape(-1)
@@ -281,6 +283,7 @@ class PPOConfig(AlgoConfig):
             kl_coef=kl_coef,
             rollout=None,
             rollout_mask=jnp.zeros((0, 0), jnp.bool_),
+            rollout_final=jnp.zeros((0, 0), jnp.bool_),
             train_count=state.train_count + self.num_epochs * self.num_minibatches,
         )
         return new_state, {

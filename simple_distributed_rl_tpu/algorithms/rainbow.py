@@ -170,8 +170,8 @@ class RainbowConfig(AlgoConfig):
         if self.enable_reward_clip:
             t = t.replace(reward=jnp.sign(t.reward))
         num_envs = mask.shape[1] // (1 + self.env.player_num)
-        seq, valid = to_env_sequences(t, mask, num_envs)
-        nt, nmask, bdisc = nstep_returns(seq, valid, self.multisteps, self.discount)
+        seq, valid, is_final = to_env_sequences(t, mask, num_envs)
+        nt, nmask, bdisc = nstep_returns(seq, valid, self.multisteps, self.discount, is_final)
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), NStepItem(t=nt, bootstrap_discount=bdisc))
         return state.replace(
             memory=self._replay.add_masked(state.memory, flat, nmask.reshape(-1))

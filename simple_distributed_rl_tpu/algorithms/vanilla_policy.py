@@ -81,11 +81,11 @@ class VanillaPolicyConfig(AlgoConfig):
 
     def observe(self, state: VPState, t: Transition, mask) -> VPState:
         num_envs = mask.shape[1] // (1 + self.env.player_num)
-        seq, valid = to_env_sequences(t, mask, num_envs)
+        seq, valid, is_final = to_env_sequences(t, mask, num_envs)
         B, L = valid.shape
         zeros = jnp.zeros((B, L), jnp.float32)
         # MC return: GAE with lambda=1 and zero baseline
-        g, _ = masked_gae(seq.reward, zeros, zeros, seq.undone, valid, self.discount, 1.0)
+        g, _ = masked_gae(seq.reward, zeros, zeros, seq.undone, valid, self.discount, 1.0, is_final)
         m = valid.reshape(-1).astype(jnp.float32)
         s = seq.obs.reshape(-1)
         g = g.reshape(-1)
