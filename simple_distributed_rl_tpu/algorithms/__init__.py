@@ -9,6 +9,7 @@ from .c51 import C51Config
 from .dqn import DQNConfig
 from .dreamer_v3 import DreamerV3Config
 from .dynaq import DynaQConfig
+from .go_explore import GoExploreConfig
 from .mcts import MCTSConfig
 from .muzero import MuZeroConfig
 from .no_target import NoTargetDQNConfig, NoTargetSACConfig
@@ -21,6 +22,7 @@ from .r2d2 import R2D2Config
 from .rainbow import RainbowConfig
 from .snd import SNDConfig
 from .sac import SACConfig
+from .search_dynaq import SearchDynaQConfig
 from .ddpg import DDPGConfig
 from .vanilla_policy import VanillaPolicyConfig
 
@@ -56,6 +58,9 @@ register("PlaNet", PlaNetConfig)
 register("NoTarget_DQN", NoTargetDQNConfig)
 register("NoTarget_SAC", NoTargetSACConfig)
 register("PPO_V", PPOVConfig)
+register("SearchDynaQ", SearchDynaQConfig)
+register("Go-Explore", GoExploreConfig)
+register("GoExplore", GoExploreConfig)
 
 __all__ = [
     "Agent57LightConfig",
@@ -66,6 +71,7 @@ __all__ = [
     "DQNConfig",
     "DreamerV3Config",
     "DynaQConfig",
+    "GoExploreConfig",
     "MCTSConfig",
     "MuZeroConfig",
     "NoTargetDQNConfig",
@@ -80,6 +86,7 @@ __all__ = [
     "RainbowConfig",
     "SACConfig",
     "SNDConfig",
+    "SearchDynaQConfig",
     "VanillaPolicyConfig",
     "Transition",
     "make",

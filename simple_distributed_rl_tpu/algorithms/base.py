@@ -81,6 +81,9 @@ class PolicyContext:
     # sets needs_env_state.
     env_state: Any = None
     timestep: Any = None
+    # the full vmapped AutoResetState (env state + step_num + episode reward
+    # bookkeeping) — what Go-Explore archives as its restorable snapshot
+    autoreset_state: Any = None
     # [B, P] rewards emitted by the PREVIOUS lockstep step (0 at t=0) — the "prev
     # reward" UVFA input and per-episode reward bookkeeping of the Agent57 family
     # (agent57_light.py on_reset/on_step prev_reward_* plumbing)
@@ -112,6 +115,12 @@ class AlgoConfig:
     #: statistics during action selection (parity: MCTS worker mutating its parameter
     #: in policy + update_parameter_from_worker, mcts.py:66-67,86-103)
     policy_updates_state: bool = False
+    #: True -> after each auto-reset the engine offers the algorithm a chance to
+    #: replace the fresh reset state with an archived snapshot — the Go-Explore
+    #: "return to cell" primitive (parity: env.backup/restore driven exploration,
+    #: srl/algorithms/go_explore/go_explore.py archive; trivial here because the
+    #: functional env state pytree IS the snapshot)
+    uses_archive_restore: bool = False
     #: observation frame stacking (parity: RLConfig.window_length,
     #: srl/base/rl/config.py:338-343 / worker_run.py:316-321). When > 1 the engine
     #: keeps a rolling window of the last W encoded observations per env and the
@@ -235,6 +244,12 @@ class AlgoConfig:
         """Chunk ingestion for needs_step_view algorithms. ``step_view`` is a StepView
         pytree with leaves [T, B, ...]."""
         return self.observe(state, transitions, mask)
+
+    def archive_restore(self, state: Any, env_state: Any, timestep: Any, was_reset: Array, key: Array):
+        """uses_archive_restore hook: for envs where ``was_reset`` is True, optionally
+        substitute an archived (AutoResetState, TimeStep) snapshot for the fresh reset.
+        Returns (env_state, timestep)."""
+        return env_state, timestep
 
     def observe(self, state: Any, transitions: Transition, mask: Array) -> Any:
         """Ingest one chunk of transitions. Leaves are [T, N, ...] where T = scan steps

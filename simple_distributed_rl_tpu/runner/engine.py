@@ -192,12 +192,13 @@ class PlayEngine:
             env_ids=jnp.arange(B, dtype=jnp.int32),
             env_state=carry.env_state.env_state if self.algo.needs_env_state else None,
             timestep=ts if self.algo.needs_env_state else None,
+            autoreset_state=carry.env_state if self.algo.needs_env_state else None,
             prev_rewards=ts.rewards,
         )
         algo_state = carry.algo_state
         if self.algo.has_actor_state:
             episode_start = carry.env_state.step_num == 0
-            a_rl, actor_state = self.algo.policy_step(
+            out = self.algo.policy_step(
                 algo_state,
                 carry.actor_state,
                 carry.enc_obs,
@@ -206,6 +207,10 @@ class PlayEngine:
                 k_policy,
                 episode_start,
             )
+            if self.algo.policy_updates_state:
+                a_rl, actor_state, algo_state = out
+            else:
+                a_rl, actor_state = out
         elif self.algo.policy_updates_state:
             a_rl, algo_state = self.algo.policy(
                 algo_state, carry.enc_obs, ts.invalid_mask, ctx, k_policy
@@ -285,6 +290,12 @@ class PlayEngine:
 
         # --- env lockstep
         env_state, ts2 = self._v_step(carry.env_state, ts, a_env, jax.random.split(k_env, B))
+        if self.algo.uses_archive_restore and training:
+            # Go-Explore return-to-cell: replace fresh resets with archived snapshots
+            key, k_arch = jax.random.split(key)
+            env_state, ts2 = self.algo.archive_restore(
+                algo_state_post_policy, env_state, ts2, jnp.logical_not(live), k_arch
+            )
         pending = pending.replace(
             reward=pending.reward + ts2.rewards * pending.active.astype(jnp.float32)
         )
