@@ -363,3 +363,109 @@ class Othello(EnvCore):
 register("Othello", Othello, size=8)
 register("Othello6x6", Othello, size=6)
 register("Othello4x4", Othello, size=4)
+
+
+# ---------------------------------------------------------------------------
+# ConnectX — connect-four on a 6x7 board (parity: srl/envs/kaggle/connectx.py,
+# native here instead of wrapping kaggle_environments; obs = flat board with
+# 0 empty / 1 P1 / 2 P2, action = column).
+# ---------------------------------------------------------------------------
+@struct.dataclass
+class ConnectXState:
+    board: jax.Array  # [rows*cols] int32: 0 empty, 1 P1, 2 P2
+    next_player: jax.Array  # int32
+
+
+class ConnectX(EnvCore):
+    def __init__(self, rows: int = 6, columns: int = 7, inarow: int = 4):
+        self.rows, self.columns, self.inarow = rows, columns, inarow
+        self.cells = rows * columns
+        # all winning line index quadruples
+        lines = []
+        for r in range(rows):
+            for c in range(columns):
+                for dr, dc in ((0, 1), (1, 0), (1, 1), (1, -1)):
+                    rr, cc = r + dr * (inarow - 1), c + dc * (inarow - 1)
+                    if 0 <= rr < rows and 0 <= cc < columns:
+                        lines.append([(r + dr * k) * columns + (c + dc * k) for k in range(inarow)])
+        self._lines = jnp.asarray(np.asarray(lines, np.int32))  # [L, inarow]
+
+    @property
+    def action_space(self):
+        return Discrete(self.columns)
+
+    @property
+    def observation_space(self):
+        return ArrayDiscrete(self.cells, 0, 2)
+
+    @property
+    def player_num(self) -> int:
+        return 2
+
+    @property
+    def max_episode_steps(self) -> int:
+        return self.cells + 2
+
+    @property
+    def reward_baseline(self):
+        return [
+            {"episode": 100, "players": [None, "random"], "baseline": [0.7, None]},
+            {"episode": 100, "players": ["random", None], "baseline": [None, 0.7]},
+        ]
+
+    def _mask(self, board):
+        # a column is playable while its TOP cell (row 0) is empty
+        return board[: self.columns] != 0
+
+    def _ts(self, state, rewards, terminated):
+        return self.timestep(
+            state.board, rewards, terminated,
+            invalid_mask=self._mask(state.board),
+            next_player=state.next_player,
+        )
+
+    def reset(self, key) -> Tuple["ConnectXState", TimeStep]:
+        state = ConnectXState(
+            board=jnp.zeros((self.cells,), jnp.int32),
+            next_player=jnp.asarray(0, jnp.int32),
+        )
+        return state, self._ts(state, 0.0, False)
+
+    def step(self, state: "ConnectXState", action, key) -> Tuple["ConnectXState", TimeStep]:
+        mark = state.next_player + 1
+        col = action
+        # lowest empty row in the column
+        col_cells = state.board[col + self.columns * jnp.arange(self.rows)]
+        empties = col_cells == 0
+        # the DEEPEST empty row = last True
+        row = jnp.max(jnp.where(empties, jnp.arange(self.rows), -1))
+        illegal = row < 0
+        cell = jnp.maximum(row, 0) * self.columns + col
+        board = jnp.where(illegal, state.board, state.board.at[cell].set(mark))
+
+        line_vals = board[self._lines]  # [L, inarow]
+        p1_win = jnp.any(jnp.all(line_vals == 1, axis=1))
+        p2_win = jnp.any(jnp.all(line_vals == 2, axis=1))
+        full = jnp.all(board != 0)
+
+        mover_is_p1 = state.next_player == 0
+        r_illegal = jnp.where(mover_is_p1, jnp.asarray([-1.0, 0.0]), jnp.asarray([0.0, -1.0]))
+        r_win = jnp.where(
+            p1_win, jnp.asarray([1.0, -1.0]),
+            jnp.where(p2_win, jnp.asarray([-1.0, 1.0]), jnp.asarray([0.0, 0.0])),
+        )
+        rewards = jnp.where(illegal, r_illegal, r_win)
+        terminated = illegal | p1_win | p2_win | full
+        next_player = jnp.where(terminated, state.next_player, 1 - state.next_player)
+        new_state = ConnectXState(board=board, next_player=next_player)
+        return new_state, self._ts(new_state, rewards, terminated)
+
+    def render_terminal(self, state):
+        b = np.asarray(state.board).reshape(self.rows, self.columns)
+        sym = {0: ".", 1: "o", 2: "x"}
+        for row in b:
+            print(" ".join(sym[int(v)] for v in row))
+        print(" ".join(str(c) for c in range(self.columns)))
+
+
+register("ConnectX", ConnectX)

@@ -139,12 +139,83 @@ class AutoResetEnv:
     each instance resets independently — the lockstep analog of per-env episode ends.
     """
 
-    def __init__(self, env: EnvCore, max_episode_steps: Optional[int] = None):
+    def __init__(
+        self,
+        env: EnvCore,
+        max_episode_steps: Optional[int] = None,
+        frameskip: int = 0,
+        random_noop_max: int = 0,
+    ):
+        """``frameskip`` repeats each action N extra env steps accumulating rewards
+        (parity: EnvConfig.frameskip + reward accumulation,
+        srl/base/env/env_run.py:281-291); ``random_noop_max`` takes 0..N random
+        actions after each reset before handing control to the policy (parity:
+        EnvConfig.random_noop_max, env_run.py:228)."""
         self.env = env
         self.max_episode_steps = int(max_episode_steps or env.max_episode_steps)
+        self.frameskip = int(frameskip)
+        self.random_noop_max = int(random_noop_max)
+
+    def _noop_reset(self, key: Array):
+        env_state, ts = self.env.reset(key)
+        if self.random_noop_max <= 0:
+            return env_state, ts
+        k_n, key = jax.random.split(key)
+        n = jax.random.randint(k_n, (), 0, self.random_noop_max + 1)
+
+        def body(i, carry):
+            env_state, ts, key = carry
+            key, k_a, k_s = jax.random.split(key, 3)
+            a = self.env.action_space.sample(k_a, ts.invalid_mask)
+            ns, nts = self.env.step(env_state, a, k_s)
+            # stop advancing once done or past n noops
+            use = jnp.logical_and(i < n, jnp.logical_not(nts.done))
+            env_state = jax.tree.map(
+                lambda new, old: jnp.where(use, new, old) if new.ndim == 0
+                else jnp.where(jnp.reshape(use, (1,) * new.ndim), new, old),
+                ns, env_state,
+            )
+            ts = jax.tree.map(
+                lambda new, old: jnp.where(use, new, old) if new.ndim == 0
+                else jnp.where(jnp.reshape(use, (1,) * new.ndim), new, old),
+                nts, ts,
+            )
+            return env_state, ts, key
+
+        env_state, ts, _ = jax.lax.fori_loop(
+            0, self.random_noop_max, body, (env_state, ts, key)
+        )
+        return env_state, ts
+
+    def _skip_step(self, env_state, action, key):
+        """One policy action = 1 + frameskip env steps with accumulated rewards."""
+        env_state, ts = self.env.step(env_state, action, key)
+        if self.frameskip <= 0:
+            return env_state, ts
+        acc = ts.rewards
+
+        def body(i, carry):
+            env_state, ts, acc, key = carry
+            key, k_s = jax.random.split(key)
+            ns, nts = self.env.step(env_state, action, k_s)
+            use = jnp.logical_not(ts.done)
+
+            def sel(new, old):
+                m = jnp.reshape(use, (1,) * new.ndim) if new.ndim else use
+                return jnp.where(m, new, old)
+
+            env_state = jax.tree.map(sel, ns, env_state)
+            acc = acc + jnp.where(use, nts.rewards, 0.0)
+            ts = jax.tree.map(sel, nts, ts)
+            return env_state, ts, acc, key
+
+        env_state, ts, acc, _ = jax.lax.fori_loop(
+            0, self.frameskip, body, (env_state, ts, acc, key)
+        )
+        return env_state, ts.replace(rewards=acc)
 
     def reset(self, key: Array) -> Tuple[AutoResetState, TimeStep]:
-        env_state, ts = self.env.reset(key)
+        env_state, ts = self._noop_reset(key)
         p = self.env.player_num
         state = AutoResetState(
             env_state=env_state,
@@ -161,7 +232,7 @@ class AutoResetEnv:
         key_step, key_reset = jax.random.split(key)
 
         def do_reset(_):
-            env_state, ts = self.env.reset(key_reset)
+            env_state, ts = self._noop_reset(key_reset)
             new = AutoResetState(
                 env_state=env_state,
                 step_num=jnp.asarray(0, jnp.int32),
@@ -172,7 +243,7 @@ class AutoResetEnv:
             return new, ts
 
         def do_step(_):
-            env_state, ts = self.env.step(state.env_state, action, key_step)
+            env_state, ts = self._skip_step(state.env_state, action, key_step)
             step_num = state.step_num + 1
             truncated = jnp.logical_or(ts.truncated, step_num >= self.max_episode_steps)
             ts = ts.replace(truncated=jnp.logical_and(truncated, jnp.logical_not(ts.terminated)))

@@ -4,10 +4,12 @@ from .priority_buffer import (
     RankBasedLinearReplayBuffer,
     RankBasedReplayBuffer,
 )
+from .episode_buffer import EpisodeReplayBuffer
 from .replay_buffer import ReplayBuffer, ReplayState
 from .single_use import SingleUseBuffer, SingleUseState
 
 __all__ = [
+    "EpisodeReplayBuffer",
     "PriorityReplayBuffer",
     "PriorityReplayState",
     "RankBasedLinearReplayBuffer",

@@ -94,11 +94,13 @@ class PlayEngine:
         num_envs: int,
         players: Optional[Sequence] = None,
         max_episode_steps: Optional[int] = None,
+        frameskip: int = 0,
+        random_noop_max: int = 0,
     ):
         self.env = env
         self.algo = algo
         self.num_envs = int(num_envs)
-        self.aenv = AutoResetEnv(env, max_episode_steps)
+        self.aenv = AutoResetEnv(env, max_episode_steps, frameskip, random_noop_max)
         self.player_codes = resolve_players(players, env.player_num)
         self.P = env.player_num
         self.A = env.num_actions

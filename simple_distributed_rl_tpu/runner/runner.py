@@ -32,6 +32,8 @@ class Runner:
         num_envs: int = 128,
         players: Optional[Sequence] = None,
         seed: Optional[int] = None,
+        frameskip: int = 0,
+        random_noop_max: int = 0,
     ):
         self.env_id = env if isinstance(env, str) else type(env).__name__
         self.env = make_env(env) if isinstance(env, str) else env
@@ -41,7 +43,10 @@ class Runner:
         self.seed = seed if seed is not None else int(time.time()) % (2**31)
 
         self.algo.setup(self.env)
-        self.engine = PlayEngine(self.env, self.algo, self.num_envs, players)
+        self.engine = PlayEngine(
+            self.env, self.algo, self.num_envs, players,
+            frameskip=frameskip, random_noop_max=random_noop_max,
+        )
         self._carry = None
         self._chunk_fn = None
         self._chunk_steps = None
@@ -68,10 +73,13 @@ class Runner:
         train_steps_per_chunk: Optional[int] = None,
         callbacks: Optional[List[RunCallback]] = None,
         progress: bool = True,
+        profile_dir: Optional[str] = None,
     ) -> Dict[str, Any]:
         """Train until any stop condition hits (parity: Runner.train stop conditions,
         srl/base/context.py max_steps/max_train_count/timeout). ``max_steps`` counts
-        TOTAL env steps across the vectorized batch."""
+        TOTAL env steps across the vectorized batch. ``profile_dir`` captures a
+        jax.profiler trace of the run (the tracing hook the reference lacks —
+        SURVEY.md §5)."""
         assert max_steps or max_train_count or timeout, "need a stop condition"
         # sequence algorithms (R2D2 family) pin the chunk length to their window size
         required = getattr(self.algo, "required_chunk_steps", None)
@@ -91,6 +99,8 @@ class Runner:
         carry = self.carry
         stats: Dict[str, Any] = {}
         ep0 = int(carry.episode_count)
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         while True:
             carry, metrics = self._chunk_fn(carry)
             stats = {
@@ -116,6 +126,9 @@ class Runner:
                 stop = True
             if stop:
                 break
+        if profile_dir:
+            jax.block_until_ready(carry.env_steps)
+            jax.profiler.stop_trace()
         self._carry = carry
         for c in callbacks:
             c.on_end(self)

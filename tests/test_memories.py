@@ -135,3 +135,24 @@ def test_per_two_level_consistency():
     # correlation between empirical frequency and priority should be strong
     corr = np.corrcoef(counts, probs)[0, 1]
     assert corr > 0.8
+
+
+def test_episode_replay_buffer_windows():
+    from simple_distributed_rl_tpu.memories import EpisodeReplayBuffer
+
+    buf = EpisodeReplayBuffer(capacity=8, max_len=10, prefix_size=1, suffix_size=1)
+    st = buf.init({"x": jnp.asarray(0.0)})
+    # two episodes: lengths 10 and 5, values = step index (+100 for ep 2)
+    eps = {"x": jnp.stack([jnp.arange(10.0), jnp.arange(10.0) + 100.0])}
+    st = buf.add_episodes(st, eps, jnp.asarray([10, 5]))
+    w, m = buf.sample_windows(st, jax.random.PRNGKey(0), 64)
+    assert w["x"].shape == (64, 3)
+    # windows are contiguous steps
+    d = np.diff(np.asarray(w["x"]), axis=1)
+    assert np.all(d == 1.0)
+    # masks valid inside episode length
+    assert m.shape == (64, 3)
+    # windows from the short episode never start past its length
+    vals = np.asarray(w["x"])
+    from_short = vals[:, 0] >= 100
+    assert np.all(vals[from_short][:, 2] - 100 <= 9)
