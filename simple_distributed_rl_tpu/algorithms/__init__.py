@@ -2,6 +2,7 @@
 
 from typing import Callable, Dict
 
+from .agent57 import Agent57Config
 from .agent57_light import Agent57LightConfig
 from .alphazero import AlphaZeroConfig
 from .base import AlgoConfig, PolicyContext, Transition
@@ -9,6 +10,7 @@ from .c51 import C51Config
 from .dqn import DQNConfig
 from .dreamer_v3 import DreamerV3Config
 from .dynaq import DynaQConfig
+from .go_dynaq import GoDynaQConfig
 from .go_explore import GoExploreConfig
 from .mcts import MCTSConfig
 from .muzero import MuZeroConfig
@@ -25,6 +27,7 @@ from .sac import SACConfig
 from .search_dynaq import SearchDynaQConfig
 from .ddpg import DDPGConfig
 from .vanilla_policy import VanillaPolicyConfig
+from .world_models import WorldModelsConfig
 
 _registry: Dict[str, Callable[..., AlgoConfig]] = {}
 
@@ -50,6 +53,7 @@ register("MCTS", MCTSConfig)
 register("DynaQ", DynaQConfig)
 register("Agent57_light", Agent57LightConfig)
 register("QL_agent57", QLAgent57Config)
+register("Agent57", Agent57Config)
 register("AlphaZero", AlphaZeroConfig)
 register("MuZero", MuZeroConfig)
 register("SND", SNDConfig)
@@ -61,8 +65,11 @@ register("PPO_V", PPOVConfig)
 register("SearchDynaQ", SearchDynaQConfig)
 register("Go-Explore", GoExploreConfig)
 register("GoExplore", GoExploreConfig)
+register("GoDynaQ", GoDynaQConfig)
+register("WorldModels", WorldModelsConfig)
 
 __all__ = [
+    "Agent57Config",
     "Agent57LightConfig",
     "AlphaZeroConfig",
     "AlgoConfig",
@@ -71,6 +78,7 @@ __all__ = [
     "DQNConfig",
     "DreamerV3Config",
     "DynaQConfig",
+    "GoDynaQConfig",
     "GoExploreConfig",
     "MCTSConfig",
     "MuZeroConfig",
@@ -88,6 +96,7 @@ __all__ = [
     "SNDConfig",
     "SearchDynaQConfig",
     "VanillaPolicyConfig",
+    "WorldModelsConfig",
     "Transition",
     "make",
     "register",

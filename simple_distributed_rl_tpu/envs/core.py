@@ -245,7 +245,9 @@ class AutoResetEnv:
         def do_step(_):
             env_state, ts = self._skip_step(state.env_state, action, key_step)
             step_num = state.step_num + 1
-            truncated = jnp.logical_or(ts.truncated, step_num >= self.max_episode_steps)
+            # strictly-greater comparison matches the reference (env_run.py:361): an episode
+            # runs at most max_episode_steps + 1 steps
+            truncated = jnp.logical_or(ts.truncated, step_num > self.max_episode_steps)
             ts = ts.replace(truncated=jnp.logical_and(truncated, jnp.logical_not(ts.terminated)))
             ep_reward = state.episode_reward + ts.rewards
             done = jnp.logical_or(ts.terminated, ts.truncated)

@@ -355,6 +355,112 @@ class Runner:
         save_gif(frames, path, fps)
         return total
 
+    def play_terminal(self, max_steps: int = 100, human_player: int = 0) -> float:
+        """Interactive terminal play: the human controls ``human_player`` via stdin,
+        the trained policy plays the other seats (parity: Runner.play_terminal,
+        runner/runner.py:1255). Actions are entered as integers; invalid entries
+        re-prompt."""
+        from ..algorithms.base import PolicyContext
+
+        key = jax.random.PRNGKey(self.seed + 3)
+        k_reset, key = jax.random.split(key)
+        state, ts = self.env.reset(k_reset)
+        total = 0.0
+        self.env.render_terminal(state)
+        actor = None
+        if self.algo.has_actor_state:
+            actor = self.algo.init_actor_state(key, 1)
+        for step_i in range(max_steps):
+            key, k_pol, k_step = jax.random.split(key, 3)
+            if int(ts.next_player) == human_player:
+                valid = [
+                    a for a in range(self.env.num_actions)
+                    if not bool(ts.invalid_mask[a])
+                ]
+                while True:
+                    try:
+                        raw = input(f"your move {valid}: ")
+                        a = int(raw)
+                        if a in valid:
+                            break
+                    except (ValueError, EOFError):
+                        return total
+                a_env = jnp.asarray(a, jnp.int32)
+            else:
+                enc = self.algo.obs_encoder.encode(ts.obs)
+                batched = jax.tree.map(lambda x: x[None], enc)
+                ctx = PolicyContext(
+                    step=jnp.asarray(0), training=jnp.asarray(False),
+                    env_ids=jnp.zeros((1,), jnp.int32),
+                    env_state=jax.tree.map(lambda x: x[None], state)
+                    if self.algo.needs_env_state else None,
+                    timestep=jax.tree.map(lambda x: x[None], ts)
+                    if self.algo.needs_env_state else None,
+                )
+                if self.algo.has_actor_state:
+                    a_rl, actor = self.algo.policy_step(
+                        self.algo_state, actor, batched, ts.invalid_mask[None], ctx,
+                        k_pol, jnp.asarray([step_i == 0]),
+                    )
+                elif self.algo.policy_updates_state:
+                    a_rl, _ = self.algo.policy(
+                        self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol
+                    )
+                else:
+                    a_rl = self.algo.policy(
+                        self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol
+                    )
+                a_env = self.algo.action_encoder.decode(jax.tree.map(lambda x: x[0], a_rl))
+            state, ts = self.env.step(state, a_env, k_step)
+            total += float(ts.rewards[human_player])
+            print(f"action: {self.env.action_to_str(np.asarray(a_env))}  rewards: {np.asarray(ts.rewards)}")
+            self.env.render_terminal(state)
+            if bool(ts.terminated) or bool(ts.truncated):
+                break
+        return total
+
+    def replay_window(self, max_steps: int = 200):
+        """Record one greedy episode and open a pygame scrubber over its frames
+        (parity: Runner.replay_window, runner/runner.py:1121 / RePlayableGame).
+        Headless environments fall back to returning the frame list."""
+        from .render import env_frame
+
+        frames = []
+
+        def on_frame(env, state, info):
+            frames.append(env_frame(env, state))
+
+        self._play_episode_host(max_steps, on_frame)
+        try:
+            import os
+
+            if not os.environ.get("DISPLAY"):
+                raise RuntimeError("headless")
+            import pygame
+
+            pygame.init()
+            h, w = frames[0].shape[:2]
+            screen = pygame.display.set_mode((w, h))
+            i, run = 0, True
+            while run:
+                surf = pygame.surfarray.make_surface(frames[i].swapaxes(0, 1))
+                screen.blit(surf, (0, 0))
+                pygame.display.flip()
+                for ev in pygame.event.get():
+                    if ev.type == pygame.QUIT:
+                        run = False
+                    elif ev.type == pygame.KEYDOWN:
+                        if ev.key == pygame.K_RIGHT:
+                            i = min(i + 1, len(frames) - 1)
+                        elif ev.key == pygame.K_LEFT:
+                            i = max(i - 1, 0)
+                        elif ev.key == pygame.K_ESCAPE:
+                            run = False
+            pygame.quit()
+        except Exception:
+            pass
+        return frames
+
     # --- config serialization ---------------------------------------------
     def save_config(self, path: str) -> None:
         """yaml round-trip of the algorithm config (parity: Runner/RLConfig yaml

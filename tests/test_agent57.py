@@ -72,3 +72,33 @@ def test_train_mp_api():
     assert stats["env_steps"] >= 50_000
     rewards = r.evaluate(50)
     assert float(rewards[0]) > 0.5
+
+
+def test_agent57_full_smoke():
+    from simple_distributed_rl_tpu.algorithms import Agent57Config
+
+    cfg = Agent57Config(actor_num=4, burnin=2, sequence_length=6, lstm_units=16,
+                        capacity=200, warmup_size=10, episodic_memory_capacity=32)
+    r = srl.Runner("Grid", cfg, num_envs=8, seed=0)
+    r.train(max_steps=1500, train_steps_per_chunk=1, progress=False)
+    rewards = r.evaluate(8)
+    assert np.isfinite(rewards).all()
+    assert int(r.algo_state.train_count) > 0
+    # stored sequences carry both nets' initial hiddens
+    assert r.algo_state.memory.data.init_int_h.shape[-1] == 16
+
+
+def test_agent57_full_save_load():
+    import os
+    import tempfile
+
+    from simple_distributed_rl_tpu.algorithms import Agent57Config
+
+    cfg = Agent57Config(actor_num=4, burnin=2, sequence_length=6, lstm_units=16,
+                        capacity=200, warmup_size=10, episodic_memory_capacity=32)
+    r = srl.Runner("Grid", cfg, num_envs=4, seed=0)
+    r.train(max_steps=500, train_steps_per_chunk=1, progress=False)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.pkl.xz")
+        r.save_parameter(p)
+        r.load_parameter(p)

@@ -213,7 +213,7 @@ def test_autoreset_truncation():
     env = make("Pendulum-v1", max_steps=5)
     aenv = AutoResetEnv(env)
     state, ts = aenv.reset(jax.random.PRNGKey(0))
-    for i in range(5):
+    for i in range(6):  # reference semantics: truncation after max_episode_steps + 1
         state, ts = aenv.step(state, ts, jnp.zeros((1,)), jax.random.PRNGKey(i))
     assert bool(ts.truncated) and not bool(ts.terminated)
 
