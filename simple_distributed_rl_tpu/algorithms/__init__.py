@@ -23,6 +23,7 @@ from .ql_agent57 import QLAgent57Config
 from .r2d2 import R2D2Config
 from .rainbow import RainbowConfig
 from .snd import SNDConfig
+from .stochastic_muzero import StochasticMuZeroConfig
 from .sac import SACConfig
 from .search_dynaq import SearchDynaQConfig
 from .ddpg import DDPGConfig
@@ -67,6 +68,7 @@ register("Go-Explore", GoExploreConfig)
 register("GoExplore", GoExploreConfig)
 register("GoDynaQ", GoDynaQConfig)
 register("WorldModels", WorldModelsConfig)
+register("StochasticMuZero", StochasticMuZeroConfig)
 
 __all__ = [
     "Agent57Config",
@@ -95,6 +97,7 @@ __all__ = [
     "SACConfig",
     "SNDConfig",
     "SearchDynaQConfig",
+    "StochasticMuZeroConfig",
     "VanillaPolicyConfig",
     "WorldModelsConfig",
     "Transition",

@@ -325,7 +325,22 @@ class MuZeroConfig(AlgoConfig):
         return action, MZActorState(sampling_step=sampling_step + 1, last_pi=pi)
 
     # ------------------------------------------------------------------
+    def _build_windows(self, sv: StepView):
+        """Chunk-wide window construction shared with the stochastic variant.
+        Returns (MZItem [T, B, ...], valid [T, B], z [T, B])."""
+        return self.__windows(sv)
+
     def observe_chunk(self, state: MZState, transitions, mask, sv: StepView) -> MZState:
+        items, valid, z = self._build_windows(sv)
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), items)
+        memory = self._replay.add_masked(state.memory, flat, valid.reshape(-1))
+        zz = jnp.where(valid, z, jnp.inf)
+        q_min = jnp.minimum(state.q_min, zz.min())
+        zz = jnp.where(valid, z, -jnp.inf)
+        q_max = jnp.maximum(state.q_max, zz.max())
+        return state.replace(memory=memory, q_min=q_min, q_max=q_max)
+
+    def __windows(self, sv: StepView):
         T, B = sv.reward.shape
         K = self.unroll_steps
         done = jnp.logical_or(sv.terminated, sv.truncated)
@@ -381,14 +396,7 @@ class MuZeroConfig(AlgoConfig):
         # window does not run off the chunk tail un-absorbed
         tail_ok = jnp.arange(T)[:, None] < (T - K)
         valid = completed & jnp.logical_not(was_reset) & tail_ok
-        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), items)
-        memory = self._replay.add_masked(state.memory, flat, valid.reshape(-1))
-
-        zz = jnp.where(valid, z, jnp.inf)
-        q_min = jnp.minimum(state.q_min, zz.min())
-        zz = jnp.where(valid, z, -jnp.inf)
-        q_max = jnp.maximum(state.q_max, zz.max())
-        return state.replace(memory=memory, q_min=q_min, q_max=q_max)
+        return items, valid, z
 
     # ------------------------------------------------------------------
     def train(self, state: MZState, key: Array, num_steps: int) -> Tuple[MZState, Dict[str, Array]]:

@@ -56,3 +56,18 @@ def test_mz_easygrid_learning():
     r.train(max_steps=120_000, train_steps_per_chunk=64, progress=False)
     rewards = r.evaluate(100)
     assert float(rewards[0]) >= 0.4
+
+
+def test_stochastic_muzero_smoke():
+    from simple_distributed_rl_tpu.algorithms import StochasticMuZeroConfig
+
+    cfg = StochasticMuZeroConfig(num_simulations=6, capacity=500, warmup_size=50,
+                                 unroll_steps=2, num_codes=4, discount=0.9)
+    r = srl.Runner("Grid", cfg, num_envs=8, seed=0)
+    r.train(max_steps=1000, progress=False)
+    rewards = r.evaluate(8)
+    assert np.isfinite(rewards).all()
+    assert int(r.algo_state.train_count) > 0
+    # next-obs windows stored for the chance encoder
+    n = int(r.algo_state.memory.size)
+    assert r.algo_state.memory.data.next_obs.shape[1] == 2
