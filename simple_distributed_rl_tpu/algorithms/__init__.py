@@ -10,6 +10,7 @@ from .c51 import C51Config
 from .dqn import DQNConfig
 from .dreamer_v3 import DreamerV3Config
 from .dynaq import DynaQConfig
+from .go_dqn import GoDQNConfig
 from .go_dynaq import GoDynaQConfig
 from .go_explore import GoExploreConfig
 from .mcts import MCTSConfig
@@ -67,6 +68,7 @@ register("SearchDynaQ", SearchDynaQConfig)
 register("Go-Explore", GoExploreConfig)
 register("GoExplore", GoExploreConfig)
 register("GoDynaQ", GoDynaQConfig)
+register("GoDQN", GoDQNConfig)
 register("WorldModels", WorldModelsConfig)
 register("StochasticMuZero", StochasticMuZeroConfig)
 
@@ -80,6 +82,7 @@ __all__ = [
     "DQNConfig",
     "DreamerV3Config",
     "DynaQConfig",
+    "GoDQNConfig",
     "GoDynaQConfig",
     "GoExploreConfig",
     "MCTSConfig",
