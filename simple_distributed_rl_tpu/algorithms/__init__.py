@@ -11,6 +11,8 @@ from .dqn import DQNConfig
 from .dreamer_v3 import DreamerV3Config
 from .dynaq import DynaQConfig
 from .go_dqn import GoDQNConfig
+from .godq_v1 import GoDQv1Config
+from .godq_v1_lstm import GoDQv1LstmConfig
 from .go_dynaq import GoDynaQConfig
 from .go_explore import GoExploreConfig
 from .mcts import MCTSConfig
@@ -69,6 +71,8 @@ register("Go-Explore", GoExploreConfig)
 register("GoExplore", GoExploreConfig)
 register("GoDynaQ", GoDynaQConfig)
 register("GoDQN", GoDQNConfig)
+register("GoDQ_v1", GoDQv1Config)
+register("GoDQ_v1_LSTM", GoDQv1LstmConfig)
 register("WorldModels", WorldModelsConfig)
 register("StochasticMuZero", StochasticMuZeroConfig)
 

@@ -31,6 +31,18 @@ def symexp(x: Array) -> Array:
     return jnp.sign(x) * (jnp.exp(jnp.abs(x)) - 1.0)
 
 
+def linear_symlog(x: Array) -> Array:
+    """Identity inside |x|<=1, symlog outside (parity: linear_symlog,
+    srl/rl/functions.py:50-53 — the GoDQ family's Q-value rescale)."""
+    a = jnp.abs(x)
+    return jnp.where(a <= 1.0, x, jnp.sign(x) * (jnp.log(jnp.maximum(a, 1.0)) + 1.0))
+
+
+def inverse_linear_symlog(x: Array) -> Array:
+    a = jnp.abs(x)
+    return jnp.where(a <= 1.0, x, jnp.sign(x) * jnp.exp(jnp.minimum(a, 30.0) - 1.0))
+
+
 def twohot_encode(x: Array, bins: int, low: float, high: float) -> Array:
     """Distribute scalars (any batch shape) onto the two nearest of ``bins`` uniform
     bins. Returns x.shape + (bins,)."""
