@@ -10,6 +10,7 @@ from .c51 import C51Config
 from .dqn import DQNConfig
 from .dreamer_v3 import DreamerV3Config
 from .dynaq import DynaQConfig
+from .efficient_zero_v2 import EfficientZeroV2Config
 from .go_dqn import GoDQNConfig
 from .godq_v1 import GoDQv1Config
 from .godq_v1_lstm import GoDQv1LstmConfig
@@ -73,6 +74,8 @@ register("GoDynaQ", GoDynaQConfig)
 register("GoDQN", GoDQNConfig)
 register("GoDQ_v1", GoDQv1Config)
 register("GoDQ_v1_LSTM", GoDQv1LstmConfig)
+register("EfficientZeroV2", EfficientZeroV2Config)
+register("EfficientZero", EfficientZeroV2Config)
 register("WorldModels", WorldModelsConfig)
 register("StochasticMuZero", StochasticMuZeroConfig)
 

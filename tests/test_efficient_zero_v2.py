@@ -1,0 +1,57 @@
+"""EfficientZeroV2 tests (LSTM value-prefix dynamics + consistency + gumbel)."""
+
+import numpy as np
+import pytest
+
+import simple_distributed_rl_tpu as srl
+from simple_distributed_rl_tpu.algorithms import EfficientZeroV2Config, make
+
+
+def _small(**kw):
+    base = dict(
+        num_simulations=8, num_top_actions=2, unroll_steps=3, batch_size=8,
+        warmup_size=30, capacity=2000, latent_dim=16, lstm_units=16,
+        value_bins=21, v_min=-3.0, v_max=3.0, discount=0.9,
+        policy_tau_points=((500, 1.0),), policy_tau_final=0.25,
+    )
+    base.update(kw)
+    return make("EfficientZeroV2", **base)
+
+
+def test_ez2_smoke():
+    r = srl.Runner("EasyGrid", _small(), num_envs=8, seed=1)
+    r.train(max_steps=1200, train_steps_per_chunk=2, progress=False)
+    assert int(r.algo_state.train_count) > 0
+    rewards = r.evaluate(4)
+    assert np.isfinite(rewards).all()
+    # global soft-minmax bounds were tracked
+    assert float(r.algo_state.q_min) < float(r.algo_state.q_max)
+
+
+def test_ez2_no_gumbel_and_full_expansion():
+    cfg = _small(enable_gumbel_search=False, num_top_actions=4)
+    r = srl.Runner("EasyGrid", cfg, num_envs=8, seed=1)
+    r.train(max_steps=800, train_steps_per_chunk=2, progress=False)
+    rewards = r.evaluate(4)
+    assert np.isfinite(rewards).all()
+
+
+def test_ez2_consistency_off():
+    cfg = _small(consistency_loss_coeff=0.0)
+    r = srl.Runner("EasyGrid", cfg, num_envs=8, seed=2)
+    r.train(max_steps=800, train_steps_per_chunk=2, progress=False)
+    assert int(r.algo_state.train_count) > 0
+
+
+@pytest.mark.slow
+def test_ez2_easygrid_baseline():
+    cfg = EfficientZeroV2Config(
+        num_simulations=16, num_top_actions=4, unroll_steps=3, batch_size=32,
+        warmup_size=200, latent_dim=32, lstm_units=32, value_bins=41,
+        v_min=-3.0, v_max=3.0, discount=0.9, lr=2e-3,
+        policy_tau_points=((20_000, 1.0), (40_000, 0.5)),
+    )
+    r = srl.Runner("EasyGrid", cfg, num_envs=16, seed=1)
+    r.train(max_steps=120_000, train_steps_per_chunk=16, progress=False)
+    rewards = r.evaluate(100)
+    assert float(rewards[0]) >= 0.5
