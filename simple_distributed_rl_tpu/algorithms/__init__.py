@@ -7,6 +7,7 @@ from .agent57_light import Agent57LightConfig
 from .alphazero import AlphaZeroConfig
 from .base import AlgoConfig, PolicyContext, Transition
 from .c51 import C51Config
+from .diamond import DiamondConfig
 from .dqn import DQNConfig
 from .dreamer_v3 import DreamerV3Config
 from .dynaq import DynaQConfig
@@ -76,6 +77,7 @@ register("GoDQ_v1", GoDQv1Config)
 register("GoDQ_v1_LSTM", GoDQv1LstmConfig)
 register("EfficientZeroV2", EfficientZeroV2Config)
 register("EfficientZero", EfficientZeroV2Config)
+register("DIAMOND", DiamondConfig)
 register("WorldModels", WorldModelsConfig)
 register("StochasticMuZero", StochasticMuZeroConfig)
 

@@ -23,6 +23,12 @@ def inverse_rescaling(x: Array, eps: float = 1e-3) -> Array:
     return jnp.sign(x) * (jnp.square(n / (2.0 * eps)) - 1.0)
 
 
+def huber(err: Array, delta: float = 1.0) -> Array:
+    """Elementwise Huber loss on a residual (keras.losses.Huber semantics)."""
+    a = jnp.abs(err)
+    return jnp.where(a <= delta, 0.5 * jnp.square(err), delta * (a - 0.5 * delta))
+
+
 def symlog(x: Array) -> Array:
     return jnp.sign(x) * jnp.log(jnp.abs(x) + 1.0)
 
