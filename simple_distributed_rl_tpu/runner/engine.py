@@ -96,10 +96,15 @@ class PlayEngine:
         max_episode_steps: Optional[int] = None,
         frameskip: int = 0,
         random_noop_max: int = 0,
+        env_id_offset: int = 0,
     ):
         self.env = env
         self.algo = algo
         self.num_envs = int(num_envs)
+        # distributed actors shift their exploration-ladder indices so per-actor
+        # epsilon/beta ladders stay globally unique (parity: actor_id in
+        # setup_from_actor, srl/base/rl/config.py:184)
+        self.env_id_offset = int(env_id_offset)
         self.aenv = AutoResetEnv(env, max_episode_steps, frameskip, random_noop_max)
         self.player_codes = resolve_players(players, env.player_num)
         self.P = env.player_num
@@ -191,7 +196,7 @@ class PlayEngine:
         ctx = PolicyContext(
             step=carry.step,
             training=jnp.asarray(training, jnp.bool_),
-            env_ids=jnp.arange(B, dtype=jnp.int32),
+            env_ids=jnp.arange(B, dtype=jnp.int32) + self.env_id_offset,
             env_state=carry.env_state.env_state if self.algo.needs_env_state else None,
             timestep=ts if self.algo.needs_env_state else None,
             autoreset_state=carry.env_state if self.algo.needs_env_state else None,
@@ -422,6 +427,24 @@ class PlayEngine:
             return carry, jax.tree.map(lambda x: x[-1], metrics)
 
         return jax.jit(multi_chunk)
+
+    def build_collect_chunk(self, chunk_steps: int):
+        """Compile an EXPERIENCE-COLLECTION chunk for distributed actors: T lockstep
+        rollout steps with the training policy, returning the raw experience pytree
+        instead of ingesting it (the remote trainer owns the replay). This is the
+        TPU-native form of the reference's actor-side memory interceptor
+        (srl/runner/distribution/server_actor.py memory sender + play loop)."""
+
+        def collect(carry: EngineState):
+            def body(c, _):
+                return self._rollout_step(c, training=True)
+
+            carry, (transitions, masks, step_views) = jax.lax.scan(
+                body, carry, None, length=chunk_steps
+            )
+            return carry, (transitions, masks, step_views)
+
+        return jax.jit(collect)
 
     # ------------------------------------------------------------------
     def build_eval(self, num_episodes: int, max_steps: Optional[int] = None):

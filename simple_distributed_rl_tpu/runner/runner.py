@@ -184,6 +184,64 @@ class Runner:
             print(f"### train_mp done: {steps:,} steps in {elapsed:.1f}s ({steps/elapsed:,.0f} st/s)")
         return {"env_steps": steps, "elapsed": elapsed}
 
+    def train_distribution(
+        self,
+        connector_params,
+        actor_num: int = 1,
+        max_train_count: Optional[int] = None,
+        timeout: Optional[float] = None,
+        chunk_steps: int = 32,
+        train_steps_per_chunk: int = 1,
+        trainer_train_steps: int = 16,
+        progress: bool = True,
+        wait_callbacks: Optional[list] = None,
+        **task_overrides,
+    ) -> str:
+        """Blocking cross-machine training (parity: Runner.train_distribution,
+        srl/runner/runner.py:547-723): publish a task (env + algo config + current
+        params) on the coordination backend, wait for remote server_actor /
+        server_trainer daemons to run it, then pull the trained parameters back into
+        this Runner. Returns the end reason."""
+        tm = self.train_distribution_start(
+            connector_params, actor_num=actor_num, max_train_count=max_train_count,
+            timeout=timeout, chunk_steps=chunk_steps,
+            train_steps_per_chunk=train_steps_per_chunk,
+            trainer_train_steps=trainer_train_steps, **task_overrides,
+        )
+        reason = tm.train_wait(timeout=timeout, progress=progress, callbacks=wait_callbacks)
+        self.load_distributed_parameter(tm)
+        return reason
+
+    def train_distribution_start(
+        self,
+        connector_params,
+        actor_num: int = 1,
+        **task_overrides,
+    ):
+        """Non-blocking variant (parity: Runner.train_distribution_start): create the
+        task and return the TaskManager; call ``tm.train_wait()`` +
+        ``runner.load_distributed_parameter(tm)`` yourself."""
+        from .distribution import TaskConfig, TaskManager, dumps
+
+        assert task_overrides.get("max_train_count") or task_overrides.get("timeout"), \
+            "need a stop condition (max_train_count or timeout)"
+        tc = TaskConfig.from_runner(self, **task_overrides)
+        tm = TaskManager(connector_params.create_connector())
+        params = jax.device_get(self.algo.params_of(self.algo_state))
+        tm.create_task(tc, dumps(params), actor_num=actor_num)
+        return tm
+
+    def load_distributed_parameter(self, tm) -> None:
+        """Pull the latest parameters from the task's param board into this Runner."""
+        from .distribution import loads
+
+        payload, _ = tm.read_parameter()
+        if payload is not None:
+            params = jax.tree.map(jnp.asarray, loads(payload))
+            self._carry = self.carry.replace(
+                algo_state=self.algo.restore_params(self.algo_state, params)
+            )
+
     def model_summary(self) -> str:
         """Tabulated model summary (parity: Runner.model_summary,
         runner/runner.py:1323, via flax tabulate when the algorithm has a model)."""
