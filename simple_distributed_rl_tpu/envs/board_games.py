@@ -234,6 +234,32 @@ class Othello(EnvCore):
                     rays[c, d, k - 1] = ny * self.size + nx
         self._rays = jnp.asarray(rays)  # [cells, 8, L]
 
+        # classic positional weights for the "cpu" worker (parity: the eval_field
+        # tables in srl/envs/othello.py:446-490 — standard Othello corner/edge values)
+        if self.size == 8:
+            w = [
+                [30, -12, 0, -1, -1, 0, -12, 30],
+                [-12, -15, -3, -3, -3, -3, -15, -12],
+                [0, -3, 0, -1, -1, 0, -3, 0],
+                [-1, -3, -1, -1, -1, -1, -3, -1],
+                [-1, -3, -1, -1, -1, -1, -3, -1],
+                [0, -3, 0, -1, -1, 0, -3, 0],
+                [-12, -15, -3, -3, -3, -3, -15, -12],
+                [30, -12, 0, -1, -1, 0, -12, 30],
+            ]
+        elif self.size == 6:
+            w = [
+                [30, -12, 0, 0, -12, 30],
+                [-12, -15, -3, -3, -15, -12],
+                [0, -3, 0, 0, -3, 0],
+                [0, -3, 0, 0, -3, 0],
+                [-12, -15, -3, -3, -15, -12],
+                [30, -12, 0, 0, -12, 30],
+            ]
+        else:
+            w = np.ones((self.size, self.size), np.float32).tolist()
+        self._eval_w = jnp.asarray(np.asarray(w, np.float32).reshape(-1))
+
     @property
     def action_space(self):
         return Discrete(self.cells + 1)  # +1 = pass
@@ -352,6 +378,57 @@ class Othello(EnvCore):
         )
         new_state = OthelloState(field=field, next_player=next_player)
         return new_state, self._ts(new_state, rewards, terminated)
+
+    # --- env worker (parity: make_worker("cpu") negamax, othello.py:404,446) ----
+    @property
+    def worker_names(self):
+        return ("cpu",)
+
+    def _eval_board(self, field, mark):
+        """Positional + mobility evaluation from `mark`'s perspective."""
+        pos = jnp.sum(self._eval_w * field) * mark
+        mob = jnp.sum(self._valid_moves(field, mark)) - jnp.sum(self._valid_moves(field, -mark))
+        return pos + 2.0 * mob.astype(jnp.float32)
+
+    def _sim_move(self, field, mark, action):
+        """Apply a board move (no pass); returns (field', playable)."""
+        cell = jnp.minimum(action, self.cells - 1)
+        flip_mask, nflip = self._flips(field, cell, mark)
+        playable = (field[cell] == 0) & (nflip > 0) & (action < self.cells)
+        field2 = jnp.where(
+            playable, jnp.where(flip_mask, mark, field).at[cell].set(mark), field
+        )
+        return field2, playable
+
+    def worker_policy(self, name: str, state: OthelloState, ts: TimeStep, key):
+        """"cpu": 2-ply negamax over the positional/mobility eval. The reference runs
+        host-side memoized negamax at depth 2/3/6 by board size; a fixed 2-ply vmapped
+        enumeration keeps the opponent jittable so eval matches run on-device."""
+        mark = jnp.where(state.next_player == 0, 1, -1).astype(jnp.int32)
+        acts = jnp.arange(self.cells + 1)
+
+        def reply_score(f2):
+            # opponent's best achievable eval (they pass if moveless)
+            def opp(b):
+                f3, ok = self._sim_move(f2, -mark, b)
+                return jnp.where(ok, self._eval_board(f3, -mark), -jnp.inf)
+
+            scores = jax.vmap(opp)(acts)
+            return jnp.where(
+                jnp.any(jnp.isfinite(scores)),
+                jnp.max(scores),
+                self._eval_board(f2, -mark),
+            )
+
+        def my_move(a):
+            f2, ok = self._sim_move(state.field, mark, a)
+            legal = jnp.where(a >= self.cells, ~jnp.any(self._valid_moves(state.field, mark)), ok)
+            return jnp.where(legal, -reply_score(f2), -jnp.inf)
+
+        scores = jax.vmap(my_move)(acts)
+        scores = jnp.where(ts.invalid_mask, -jnp.inf, scores)
+        noise = jax.random.uniform(key, scores.shape) * 1e-3
+        return jnp.argmax(scores + noise).astype(jnp.int32)
 
     def render_terminal(self, state):
         f = np.asarray(state.field).reshape(self.size, self.size)

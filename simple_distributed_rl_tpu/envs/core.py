@@ -87,6 +87,20 @@ class EnvCore:
     def step(self, state: Any, action: Any, key: Array) -> Tuple[Any, TimeStep]:
         raise NotImplementedError()
 
+    # --- env-provided opponents (parity: EnvBase.make_worker env workers,
+    # e.g. Othello "cpu" negamax, srl/envs/othello.py:404-446, and kaggle
+    # "greedy", srl/envs/kaggle/hungry_geese.py:118). Jittable policies so they
+    # run INSIDE the vectorized engine: players=[None, "cpu"] works at full
+    # lockstep throughput. -------------------------------------------------
+    @property
+    def worker_names(self) -> Tuple[str, ...]:
+        return ()
+
+    def worker_policy(self, name: str, state: Any, ts: TimeStep, key: Array):
+        """Pure jittable policy for a named env worker: (state, ts, key) -> env
+        action for ``ts.next_player``."""
+        raise NotImplementedError(f"{type(self).__name__} has no worker {name!r}")
+
     # --- host-side helpers (never jitted) ---------------------------------
     def render_terminal(self, state: Any) -> None:
         pass

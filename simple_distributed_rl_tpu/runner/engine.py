@@ -37,10 +37,15 @@ Array = jax.Array
 # player codes (static)
 MAIN = 0
 RANDOM = 1
+WORKER0 = 2  # first env-provided worker policy (parity: EnvBase.make_worker)
 
 
-def resolve_players(players: Optional[Sequence], player_num: int) -> List[int]:
-    """Map a reference-style players list (None / "random") to static codes."""
+def resolve_players(
+    players: Optional[Sequence], player_num: int, worker_names: Sequence[str] = ()
+) -> List[int]:
+    """Map a reference-style players list (None / "random" / env worker name, parity:
+    srl/base/rl/registration.py make_workers player specs) to static codes. Env worker
+    names resolve to WORKER0 + index into the env's ``worker_names``."""
     if players is None:
         players = [None] * player_num
     players = list(players) + [None] * (player_num - len(players))
@@ -50,8 +55,13 @@ def resolve_players(players: Optional[Sequence], player_num: int) -> List[int]:
             codes.append(MAIN)
         elif p == "random":
             codes.append(RANDOM)
+        elif isinstance(p, str) and p in worker_names:
+            codes.append(WORKER0 + list(worker_names).index(p))
         else:
-            raise ValueError(f"unsupported player spec: {p!r} (round-1 supports None/'random')")
+            raise ValueError(
+                f"unsupported player spec: {p!r} "
+                f"(None / 'random' / one of {tuple(worker_names)})"
+            )
     return codes
 
 
@@ -106,7 +116,7 @@ class PlayEngine:
         # setup_from_actor, srl/base/rl/config.py:184)
         self.env_id_offset = int(env_id_offset)
         self.aenv = AutoResetEnv(env, max_episode_steps, frameskip, random_noop_max)
-        self.player_codes = resolve_players(players, env.player_num)
+        self.player_codes = resolve_players(players, env.player_num, env.worker_names)
         self.P = env.player_num
         self.A = env.num_actions
         self.is_discrete_action = isinstance(env.action_space, Discrete)
@@ -235,11 +245,24 @@ class PlayEngine:
         codes = jnp.asarray(self.player_codes, jnp.int32)[ts.next_player]  # [B]
         is_main = codes == MAIN
 
-        def sel(m, r):
-            mask = is_main.reshape((B,) + (1,) * (m.ndim - 1))
+        def sel(m, r, mask):
+            mask = mask.reshape((B,) + (1,) * (m.ndim - 1))
             return jnp.where(mask, m, r)
 
-        a_env_sel = jax.tree.map(sel, a_env, a_rand_env)
+        a_env_sel = jax.tree.map(lambda m, r: sel(m, r, is_main), a_env, a_rand_env)
+
+        # env-provided worker policies (parity: EnvBase.make_worker opponents) — one
+        # vmapped policy per distinct worker name in the players list
+        used = sorted({c for c in self.player_codes if c >= WORKER0})
+        for code in used:
+            name = self.env.worker_names[code - WORKER0]
+            k_rand, k_w = jax.random.split(k_rand)
+            a_w = jax.vmap(lambda s, t, k: self.env.worker_policy(name, s, t, k))(
+                carry.env_state.env_state, ts, jax.random.split(k_w, B)
+            )
+            a_env_sel = jax.tree.map(
+                lambda w, cur: sel(w, cur, codes == code), a_w, a_env_sel
+            )
         return a_env_sel, a_rl, actor_state, algo_state
 
     # ------------------------------------------------------------------
