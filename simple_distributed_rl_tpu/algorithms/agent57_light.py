@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..define import RLBaseTypes
+from ..memories.demo_mixed import DemoMixedReplayBuffer
 from ..memories.priority_buffer import PriorityReplayBuffer
 from ..models.blocks import DuelingHead, InputBlockConfig, MLPBlock
 from ..utils import rl_functions as funcs
@@ -168,7 +169,9 @@ class Agent57LightConfig(AlgoConfig):
 
     def on_setup(self) -> None:
         self._replay = self.memory.create()
-        self._is_per = isinstance(self._replay, PriorityReplayBuffer)
+        self._is_per = isinstance(self._replay, PriorityReplayBuffer) or (
+            isinstance(self._replay, DemoMixedReplayBuffer)
+        )
         A, N = self.action_space.n, self.actor_num
         self.q_net = UVFAQNet(A, N, self.obs_space, self.input_block, self.hidden_sizes)
         self.emb_net = EmbedNet(self.obs_space, self.input_block, self.emb_dim)

@@ -20,6 +20,7 @@ import optax
 from flax import struct
 
 from ..define import RLBaseTypes
+from ..memories.demo_mixed import DemoMixedReplayBuffer
 from ..memories.priority_buffer import PriorityReplayBuffer
 from ..memories.replay_buffer import ReplayBuffer
 from ..models.blocks import InputBlockConfig, QNetwork
@@ -43,6 +44,10 @@ class MemoryConfig:
     alpha: float = 0.6
     beta_initial: float = 0.4
     beta_steps: int = 1_000_000
+    # demo-memory mixing (R2D3-style; parity: priority_replay_buffer.py:32-38)
+    enable_demo_memory: bool = False
+    select_memory: str = "main"  # "main" | "demo" — where collection goes
+    demo_ratio: float = 1.0 / 256.0
 
     def set_replay_buffer(self, capacity: int = None):
         self.kind = "replay_buffer"
@@ -60,10 +65,18 @@ class MemoryConfig:
 
     def create(self):
         if self.kind == "proportional":
-            return PriorityReplayBuffer(
+            buf = PriorityReplayBuffer(
                 self.capacity, self.warmup_size, self.alpha, self.beta_initial, self.beta_steps
             )
-        return ReplayBuffer(self.capacity, self.warmup_size)
+        else:
+            buf = ReplayBuffer(self.capacity, self.warmup_size)
+        if self.enable_demo_memory:
+            from ..memories.demo_mixed import DemoMixedReplayBuffer
+
+            return DemoMixedReplayBuffer(
+                buf, demo_ratio=self.demo_ratio, select_memory=self.select_memory
+            )
+        return buf
 
 
 @struct.dataclass
@@ -118,7 +131,9 @@ class DQNConfig(AlgoConfig):
     def on_setup(self) -> None:
         self._eps_sch = self.epsilon_scheduler.create(self.epsilon)
         self._replay = self.memory.create()
-        self._is_per = isinstance(self._replay, PriorityReplayBuffer)
+        self._is_per = isinstance(self._replay, PriorityReplayBuffer) or (
+            isinstance(self._replay, DemoMixedReplayBuffer)
+        )
         self.model = QNetwork(
             num_actions=self.action_space.n,
             obs_space=self.obs_space,

@@ -22,6 +22,7 @@ import optax
 from flax import struct
 
 from ..define import RLBaseTypes
+from ..memories.demo_mixed import DemoMixedReplayBuffer
 from ..memories.priority_buffer import PriorityReplayBuffer
 from ..models.blocks import InputBlockConfig, QNetwork
 from ..utils import rl_functions as funcs
@@ -102,7 +103,9 @@ class RainbowConfig(AlgoConfig):
     def on_setup(self) -> None:
         self._eps_sch = self.epsilon_scheduler.create(self.epsilon)
         self._replay = self.memory.create()
-        self._is_per = isinstance(self._replay, PriorityReplayBuffer)
+        self._is_per = isinstance(self._replay, PriorityReplayBuffer) or (
+            isinstance(self._replay, DemoMixedReplayBuffer)
+        )
         self.model = QNetwork(
             num_actions=self.action_space.n,
             obs_space=self.obs_space,

@@ -62,7 +62,7 @@ class GymnasiumEnv(EnvCore):
     """Single-instance host env bridged into the functional protocol. Each jittable
     reset/step escapes to the host through io_callback (ordered per slot)."""
 
-    def __init__(self, env_id: str, **kwargs):
+    def __init__(self, env_id: str, terminal_on_life_loss: bool = False, **kwargs):
         import gymnasium
 
         self.env_id = env_id
@@ -71,6 +71,14 @@ class GymnasiumEnv(EnvCore):
         self._ospace = convert_space(self._env.observation_space)
         spec_steps = getattr(self._env.spec, "max_episode_steps", None)
         self._max_steps = int(spec_steps or 99_999)
+        # ALE life-loss episode semantics (parity: AtariProcessor.remap_step,
+        # srl/envs/processors/atari_processor.py:44-52) — host-side, like the env itself.
+        self._terminal_on_life_loss = bool(terminal_on_life_loss)
+        self._lives = 0
+
+    def _ale_lives(self) -> int:
+        ale = getattr(getattr(self._env, "unwrapped", self._env), "ale", None)
+        return int(ale.lives()) if ale is not None else 0
 
     @property
     def action_space(self):
@@ -87,6 +95,8 @@ class GymnasiumEnv(EnvCore):
     # host callbacks ------------------------------------------------------
     def _host_reset(self, seed):
         obs, _ = self._env.reset(seed=int(seed))
+        if self._terminal_on_life_loss:
+            self._lives = self._ale_lives()
         return np.asarray(obs, self._ospace.dtype)
 
     def _host_step(self, action):
@@ -94,6 +104,11 @@ class GymnasiumEnv(EnvCore):
         if isinstance(self._aspace, Discrete):
             a = int(a)
         obs, reward, terminated, truncated, _ = self._env.step(a)
+        if self._terminal_on_life_loss:
+            new_lives = self._ale_lives()
+            if new_lives < self._lives:
+                terminated = True
+            self._lives = new_lives
         return (
             np.asarray(obs, self._ospace.dtype),
             np.float32(reward),

@@ -108,6 +108,52 @@ class AlphaZeroImageBlock(nn.Module):
         return x
 
 
+class _MuZeroResBlock(nn.Module):
+    filters: int
+    activation: str = "relu"
+    use_layer_normalization: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = _activation(self.activation)
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False)(x)
+        if self.use_layer_normalization:
+            y = nn.LayerNorm()(y)
+        y = act(y)
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False)(y)
+        if self.use_layer_normalization:
+            y = nn.LayerNorm()(y)
+        return act(x + y)
+
+
+class MuZeroAtariBlock(nn.Module):
+    """The MuZero Atari representation downsampler (parity: set_muzero_atari_block,
+    srl/rl/models/config/input_block.py:161 / srl/rl/tf/blocks/muzero_atari_block.py:16):
+    stride-2 conv(F) -> 2 res -> stride-2 conv(2F) -> 3 res -> avgpool/2 -> 3 res ->
+    avgpool/2, i.e. a 16x spatial reduction keeping the output as a feature map for the
+    latent dynamics model. All convs 3x3 so XLA tiles them onto the MXU."""
+
+    filters: int = 128
+    activation: str = "relu"
+    use_layer_normalization: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = _activation(self.activation)
+        res = lambda f: _MuZeroResBlock(f, self.activation, self.use_layer_normalization)
+        x = act(nn.Conv(self.filters, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x))
+        x = res(self.filters)(x)
+        x = res(self.filters)(x)
+        x = act(nn.Conv(self.filters * 2, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x))
+        for _ in range(3):
+            x = res(self.filters * 2)(x)
+        x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for _ in range(3):
+            x = res(self.filters * 2)(x)
+        x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        return x
+
+
 class NoisyDense(nn.Module):
     """Factorized-gaussian noisy linear layer (parity: the noisy dense layers in
     srl/rl/tf/blocks/dueling_network.py / Fortunato et al.). Noise is resampled per
@@ -188,12 +234,24 @@ class InputBlockConfig:
         self.image_preset = "alphazero"
         return self
 
+    def set_muzero_atari_block(self, filters: int = 128, use_layer_normalization: bool = False):
+        self.image_preset = "muzero_atari"
+        self.muzero_filters = filters
+        self.muzero_layer_norm = use_layer_normalization
+        return self
+
     def create_block(self, obs_space: Space) -> nn.Module:
         if isinstance(obs_space, Box) and obs_space.stype.is_image():
             if self.image_preset == "dqn":
                 return DQNImageBlock(activation=self.activation)
             if self.image_preset == "r2d3":
                 return R2D3ImageBlock(activation=self.activation)
+            if self.image_preset == "muzero_atari":
+                return MuZeroAtariBlock(
+                    filters=getattr(self, "muzero_filters", 128),
+                    activation=self.activation,
+                    use_layer_normalization=getattr(self, "muzero_layer_norm", False),
+                )
             return AlphaZeroImageBlock()
         return FlattenBlock(features=self.value_features, activation=self.activation)
 

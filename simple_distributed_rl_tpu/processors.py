@@ -95,6 +95,46 @@ class NormalizeProcessor(Processor):
         )
 
 
+@dataclasses.dataclass
+class AtariProcessor(Processor):
+    """Atari observation preset (parity: srl/envs/processors/atari_processor.py:16
+    AtariProcessor: grayscale + resize + optional binarize). `terminal_on_life_loss`
+    is an env-side episode semantic, handled by the gym adapter's
+    ``terminal_on_life_loss`` option (the host boundary), not here — this processor
+    covers the pure observation transform, which on TPU runs inside the jitted chunk."""
+
+    resize: Tuple[int, int] = (84, 84)
+    grayscale: bool = True
+    binarize: bool = False
+
+    def remap_space(self, space: Space) -> Space:
+        assert isinstance(space, Box) and space.stype.is_image(), f"not an image space: {space}"
+        h, w = self.resize
+        c = 1 if self.grayscale else (space.shape[-1] if len(space.shape) == 3 else 1)
+        stype = SpaceTypes.GRAY_3ch if self.grayscale else space.stype
+        return Box((h, w, c), 0, 255, jnp.uint8, stype)
+
+    def remap(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 2:
+            x = x[..., None]
+        if self.grayscale and x.shape[-1] == 3:
+            x = jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
+        h, w = self.resize
+        x = jax.image.resize(x, (h, w, x.shape[-1]), method="bilinear")
+        if self.binarize:
+            x = jnp.where(x > 127.0, 255.0, 0.0)
+        return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
+class AtariPongProcessor(AtariProcessor):
+    """Pong preset (parity: atari_processor.py AtariPongProcessor): 64x64 gray,
+    binarized to the two-tone playfield."""
+
+    def __init__(self, resize: Tuple[int, int] = (64, 64)):
+        super().__init__(resize=resize, grayscale=True, binarize=True)
+
+
 def apply_processors(space: Space, processors: List[Processor]):
     """Resolve the full pipeline. Returns (final_space, jittable transform fn)."""
     out_space = space
