@@ -1,9 +1,10 @@
-from .callbacks import Checkpoint, Evaluate, HistoryOnFile, PrintProgress, RunCallback
+from .callbacks import Checkpoint, Evaluate, HistoryOnFile, OrbaxCheckpoint, PrintProgress, RunCallback
 from .engine import PlayEngine
 from .runner import Runner
 
 __all__ = [
     "Checkpoint",
+    "OrbaxCheckpoint",
     "Evaluate",
     "HistoryOnFile",
     "PlayEngine",

@@ -413,6 +413,36 @@ class Runner:
         save_gif(frames, path, fps)
         return total
 
+    def _host_policy_action(self, state, ts, actor, k_pol, step_i):
+        """One greedy policy action for the current seat (host-driven play paths)."""
+        from ..algorithms.base import PolicyContext
+
+        enc = self.algo.obs_encoder.encode(ts.obs)
+        batched = jax.tree.map(lambda x: x[None], enc)
+        ctx = PolicyContext(
+            step=jnp.asarray(0), training=jnp.asarray(False),
+            env_ids=jnp.zeros((1,), jnp.int32),
+            env_state=jax.tree.map(lambda x: x[None], state)
+            if self.algo.needs_env_state else None,
+            timestep=jax.tree.map(lambda x: x[None], ts)
+            if self.algo.needs_env_state else None,
+        )
+        if self.algo.has_actor_state:
+            a_rl, actor = self.algo.policy_step(
+                self.algo_state, actor, batched, ts.invalid_mask[None], ctx,
+                k_pol, jnp.asarray([step_i == 0]),
+            )
+        elif self.algo.policy_updates_state:
+            a_rl, _ = self.algo.policy(
+                self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol
+            )
+        else:
+            a_rl = self.algo.policy(
+                self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol
+            )
+        a_env = self.algo.action_encoder.decode(jax.tree.map(lambda x: x[0], a_rl))
+        return a_env, actor
+
     def play_terminal(self, max_steps: int = 100, human_player: int = 0) -> float:
         """Interactive terminal play: the human controls ``human_player`` via stdin,
         the trained policy plays the other seats (parity: Runner.play_terminal,
@@ -445,30 +475,7 @@ class Runner:
                         return total
                 a_env = jnp.asarray(a, jnp.int32)
             else:
-                enc = self.algo.obs_encoder.encode(ts.obs)
-                batched = jax.tree.map(lambda x: x[None], enc)
-                ctx = PolicyContext(
-                    step=jnp.asarray(0), training=jnp.asarray(False),
-                    env_ids=jnp.zeros((1,), jnp.int32),
-                    env_state=jax.tree.map(lambda x: x[None], state)
-                    if self.algo.needs_env_state else None,
-                    timestep=jax.tree.map(lambda x: x[None], ts)
-                    if self.algo.needs_env_state else None,
-                )
-                if self.algo.has_actor_state:
-                    a_rl, actor = self.algo.policy_step(
-                        self.algo_state, actor, batched, ts.invalid_mask[None], ctx,
-                        k_pol, jnp.asarray([step_i == 0]),
-                    )
-                elif self.algo.policy_updates_state:
-                    a_rl, _ = self.algo.policy(
-                        self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol
-                    )
-                else:
-                    a_rl = self.algo.policy(
-                        self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol
-                    )
-                a_env = self.algo.action_encoder.decode(jax.tree.map(lambda x: x[0], a_rl))
+                a_env, actor = self._host_policy_action(state, ts, actor, k_pol, step_i)
             state, ts = self.env.step(state, a_env, k_step)
             total += float(ts.rewards[human_player])
             print(f"action: {self.env.action_to_str(np.asarray(a_env))}  rewards: {np.asarray(ts.rewards)}")
@@ -518,6 +525,85 @@ class Runner:
         except Exception:
             pass
         return frames
+
+    def play_window(
+        self,
+        max_steps: int = 1000,
+        human_player: int = 0,
+        key_bind: Optional[Dict[int, int]] = None,
+        fps: float = 10.0,
+    ) -> float:
+        """Live interactive pygame play: the human drives ``human_player`` with the
+        keyboard while the trained policy plays the other seats (parity:
+        Runner.play_window, runner/runner.py:1182 / PlayableGame). ``key_bind`` maps
+        pygame key constants to env actions; default binds arrows to actions 0-3 and
+        digit keys to actions 0-9. Headless environments fall back to
+        ``play_terminal`` (same control contract, stdin instead of keys)."""
+        import os as _os
+
+        if not _os.environ.get("DISPLAY"):
+            return self.play_terminal(max_steps=max_steps, human_player=human_player)
+        import pygame
+
+        from .render import env_frame
+
+        if key_bind is None:
+            key_bind = {
+                pygame.K_LEFT: 0, pygame.K_RIGHT: 1, pygame.K_UP: 2, pygame.K_DOWN: 3,
+            }
+            for d in range(10):
+                key_bind[getattr(pygame, f"K_{d}")] = d
+
+        key = jax.random.PRNGKey(self.seed + 5)
+        k_reset, key = jax.random.split(key)
+        state, ts = self.env.reset(k_reset)
+        actor = None
+        if self.algo.has_actor_state:
+            actor = self.algo.init_actor_state(key, 1)
+
+        pygame.init()
+        frame = env_frame(self.env, state)
+        h, w = frame.shape[:2]
+        screen = pygame.display.set_mode((w, h))
+        clock = pygame.time.Clock()
+        total, step_i, run = 0.0, 0, True
+        while run and step_i < max_steps:
+            screen.blit(pygame.surfarray.make_surface(frame.swapaxes(0, 1)), (0, 0))
+            pygame.display.flip()
+            a_env = None
+            if int(ts.next_player) == human_player:
+                # block until a bound, valid key (or quit)
+                while a_env is None and run:
+                    for ev in pygame.event.get():
+                        if ev.type == pygame.QUIT or (
+                            ev.type == pygame.KEYDOWN and ev.key == pygame.K_ESCAPE
+                        ):
+                            run = False
+                        elif ev.type == pygame.KEYDOWN and ev.key in key_bind:
+                            a = key_bind[ev.key]
+                            if a < self.env.num_actions and not bool(ts.invalid_mask[a]):
+                                a_env = jnp.asarray(a, jnp.int32)
+                    clock.tick(60)
+                if not run:
+                    break
+            else:
+                for ev in pygame.event.get():
+                    if ev.type == pygame.QUIT:
+                        run = False
+                key, k_pol = jax.random.split(key)
+                a_env, actor = self._host_policy_action(state, ts, actor, k_pol, step_i)
+                clock.tick(fps)
+            key, k_step = jax.random.split(key)
+            state, ts = self.env.step(state, a_env, k_step)
+            total += float(ts.rewards[human_player])
+            frame = env_frame(self.env, state)
+            step_i += 1
+            if bool(ts.terminated) or bool(ts.truncated):
+                screen.blit(pygame.surfarray.make_surface(frame.swapaxes(0, 1)), (0, 0))
+                pygame.display.flip()
+                break
+        pygame.quit()
+        return total
 
     # --- config serialization ---------------------------------------------
     def save_config(self, path: str) -> None:
