@@ -16,6 +16,7 @@ pocokhc/simple_distributed_rl), re-designed TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -23,6 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..define import RLBaseTypes, SpaceTypes
+
+# dense tabular tables are exact up to this joint cardinality; beyond it the
+# discrete encode falls back to a hashed index over _HASH_BUCKETS rows
+_MAX_EXACT_DISCRETE = 1 << 20
+_HASH_BUCKETS = 1 << 20
 
 Array = jax.Array
 
@@ -206,8 +212,10 @@ class ArrayDiscrete(Space):
 
     @property
     def n_total(self) -> int:
-        """Product of per-dim cardinalities (size of the flattened discrete space)."""
-        return int(np.prod(self.high_arr - self.low_arr + 1))
+        """Product of per-dim cardinalities (size of the flattened discrete space).
+        Computed in exact Python ints — int64 np.prod silently wraps for large joint
+        spaces (e.g. hungry_geese's 10^77 states)."""
+        return math.prod(int(h) - int(l) + 1 for h, l in zip(self.high_arr, self.low_arr))
 
     def sample(self, key, invalid_mask=None):
         lo = jnp.asarray(self.low_arr)
@@ -239,9 +247,38 @@ class ArrayDiscrete(Space):
         digits = (idx[..., None] // jnp.asarray(strides)) % jnp.asarray(radices)
         return digits.astype(jnp.int32) + jnp.asarray(self.low_arr)
 
+    def flat_hash(self, x: Array, buckets: int) -> Array:
+        """Hashed flatten for joint spaces too large for an exact dense index — the
+        TPU-native analog of the reference's UNBOUNDED string-keyed table (a dict never
+        overflows; a fixed device table needs hashing). Rolling polynomial hash with an
+        odd multiplier (a unit mod 2^32, so every digit keeps influence) plus a final
+        avalanche mix; collisions act as benign state aliasing."""
+        digits = (jnp.asarray(x) - jnp.asarray(self.low_arr)).astype(jnp.uint32)
+        h = jnp.zeros(digits.shape[:-1], jnp.uint32)
+        for i in range(self.size):
+            h = h * jnp.uint32(1_000_003) + digits[..., i]
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        return (h % jnp.uint32(buckets)).astype(jnp.int32)
+
     def encoder(self, target: RLBaseTypes, **kwargs) -> Encoder:
         if target & RLBaseTypes.DISCRETE:
-            return Encoder(Discrete(self.n_total), self.flat_index, self.from_flat_index)
+            if self.n_total <= _MAX_EXACT_DISCRETE:
+                return Encoder(Discrete(self.n_total), self.flat_index, self.from_flat_index)
+            buckets = _HASH_BUCKETS
+            low = np.asarray(self.low_arr, np.int32)
+            return Encoder(
+                Discrete(buckets),
+                lambda x: self.flat_hash(x, buckets),
+                # hashing is one-way; decode (unused for observations) yields the
+                # space's low corner with the right shape
+                lambda y: jnp.broadcast_to(
+                    jnp.asarray(low), jnp.shape(y) + (self.size,)
+                ),
+            )
         if target & RLBaseTypes.ARRAY_DISCRETE:
             return Encoder(self, _identity, _identity)
         if target & (RLBaseTypes.ARRAY_CONTINUOUS | RLBaseTypes.NP_ARRAY | RLBaseTypes.BOX):
