@@ -38,31 +38,43 @@ Array = jax.Array
 MAIN = 0
 RANDOM = 1
 WORKER0 = 2  # first env-provided worker policy (parity: EnvBase.make_worker)
+OPP0 = 1000  # first nested-algorithm opponent (parity: RLConfig entries in the
+#              players list with their own parameter, base/rl/registration.py:149-225)
 
 
 def resolve_players(
     players: Optional[Sequence], player_num: int, worker_names: Sequence[str] = ()
-) -> List[int]:
-    """Map a reference-style players list (None / "random" / env worker name, parity:
-    srl/base/rl/registration.py make_workers player specs) to static codes. Env worker
-    names resolve to WORKER0 + index into the env's ``worker_names``."""
+) -> Tuple[List[int], List[Tuple[Any, Any]]]:
+    """Map a reference-style players list (None / "random" / env worker name /
+    AlgoConfig / (AlgoConfig, params), parity: srl/base/rl/registration.py
+    make_workers player specs incl. nested RLConfigs with their own parameter) to
+    static codes. Env worker names resolve to WORKER0 + index into the env's
+    ``worker_names``; algorithm-config specs resolve to OPP0 + index into the returned
+    opponent list of (config, params-or-None)."""
     if players is None:
         players = [None] * player_num
     players = list(players) + [None] * (player_num - len(players))
-    codes = []
+    codes: List[int] = []
+    opponents: List[Tuple[Any, Any]] = []
     for p in players[:player_num]:
         if p is None:
             codes.append(MAIN)
-        elif p == "random":
+        elif isinstance(p, str) and p == "random":
             codes.append(RANDOM)
         elif isinstance(p, str) and p in worker_names:
             codes.append(WORKER0 + list(worker_names).index(p))
+        elif isinstance(p, AlgoConfig) or (
+            isinstance(p, tuple) and len(p) == 2 and isinstance(p[0], AlgoConfig)
+        ):
+            cfg, params = (p, None) if isinstance(p, AlgoConfig) else p
+            codes.append(OPP0 + len(opponents))
+            opponents.append((cfg, params))
         else:
             raise ValueError(
-                f"unsupported player spec: {p!r} "
-                f"(None / 'random' / one of {tuple(worker_names)})"
+                f"unsupported player spec: {p!r} (None / 'random' / one of "
+                f"{tuple(worker_names)} / AlgoConfig / (AlgoConfig, params))"
             )
-    return codes
+    return codes, opponents
 
 
 @struct.dataclass
@@ -116,7 +128,25 @@ class PlayEngine:
         # setup_from_actor, srl/base/rl/config.py:184)
         self.env_id_offset = int(env_id_offset)
         self.aenv = AutoResetEnv(env, max_episode_steps, frameskip, random_noop_max)
-        self.player_codes = resolve_players(players, env.player_num, env.worker_names)
+        self.player_codes, opp_specs = resolve_players(
+            players, env.player_num, env.worker_names
+        )
+        # nested-algorithm opponents: each gets its own encoders + (frozen) state;
+        # states are captured as constants of the jitted chunk (they never train here)
+        self.opponents = []
+        for i, (opp_cfg, opp_params) in enumerate(opp_specs):
+            opp_cfg.setup(env)
+            assert not opp_cfg.has_actor_state and getattr(opp_cfg, "window_length", 1) == 1, (
+                "recurrent/window-stacked algorithms are not supported as opponent "
+                "players yet — use them as the main algorithm"
+            )
+            opp_state = opp_cfg.init(jax.random.PRNGKey(97_000 + i))
+            if opp_params is not None:
+                opp_state = opp_cfg.restore_params(opp_state, opp_params)
+            # loaded params may be host numpy — move to device arrays so the policy
+            # can index them with tracers inside the jitted chunk
+            opp_state = jax.tree.map(jnp.asarray, opp_state)
+            self.opponents.append((opp_cfg, opp_state))
         self.P = env.player_num
         self.A = env.num_actions
         self.is_discrete_action = isinstance(env.action_space, Discrete)
@@ -253,7 +283,7 @@ class PlayEngine:
 
         # env-provided worker policies (parity: EnvBase.make_worker opponents) — one
         # vmapped policy per distinct worker name in the players list
-        used = sorted({c for c in self.player_codes if c >= WORKER0})
+        used = sorted({c for c in self.player_codes if WORKER0 <= c < OPP0})
         for code in used:
             name = self.env.worker_names[code - WORKER0]
             k_rand, k_w = jax.random.split(k_rand)
@@ -262,6 +292,30 @@ class PlayEngine:
             )
             a_env_sel = jax.tree.map(
                 lambda w, cur: sel(w, cur, codes == code), a_w, a_env_sel
+            )
+
+        # nested-algorithm opponents (parity: RLConfig players with own parameter,
+        # base/rl/registration.py:149-225) — frozen policies computed in lockstep
+        used_opp = sorted({c for c in self.player_codes if c >= OPP0})
+        for code in used_opp:
+            opp_cfg, opp_state = self.opponents[code - OPP0]
+            k_rand, k_o = jax.random.split(k_rand)
+            enc_o = jax.vmap(opp_cfg.obs_encoder.encode)(ts.obs)
+            octx = PolicyContext(
+                step=carry.step,
+                training=jnp.asarray(False, jnp.bool_),
+                env_ids=jnp.arange(B, dtype=jnp.int32) + self.env_id_offset,
+                env_state=carry.env_state.env_state if opp_cfg.needs_env_state else None,
+                timestep=ts if opp_cfg.needs_env_state else None,
+                autoreset_state=carry.env_state if opp_cfg.needs_env_state else None,
+                prev_rewards=ts.rewards,
+            )
+            a_o_rl = opp_cfg.policy(opp_state, enc_o, ts.invalid_mask, octx, k_o)
+            if opp_cfg.policy_updates_state:
+                a_o_rl = a_o_rl[0]
+            a_o = jax.vmap(opp_cfg.action_encoder.decode)(a_o_rl)
+            a_env_sel = jax.tree.map(
+                lambda w, cur: sel(w, cur, codes == code), a_o, a_env_sel
             )
         return a_env_sel, a_rl, actor_state, algo_state
 
@@ -480,6 +534,7 @@ class PlayEngine:
             self.env, self.algo, B, players=None, max_episode_steps=self.aenv.max_episode_steps
         )
         eval_engine.player_codes = self.player_codes
+        eval_engine.opponents = self.opponents
 
         def eval_fn(algo_state: Any, key: Array):
             carry = eval_engine.init(key)

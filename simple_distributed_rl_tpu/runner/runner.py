@@ -290,7 +290,12 @@ class Runner:
     ) -> np.ndarray:
         """Mean episode reward per player over ``max_episodes`` parallel episodes
         (parity: Runner.evaluate, runner/runner.py:724)."""
-        key = (max_episodes, tuple(players) if players else None)
+        key = (
+            max_episodes,
+            tuple(p if (p is None or isinstance(p, str)) else id(p) for p in players)
+            if players
+            else None,
+        )
         if key not in self._eval_fns:
             engine = PlayEngine(self.env, self.algo, max_episodes, players or self.players)
             self._eval_fns[key] = engine.build_eval(max_episodes)
