@@ -11,7 +11,7 @@ Quick start (mirrors the reference's ``srl.Runner`` API):
 
 from . import algorithms, envs, memories, models, spaces, utils
 from .define import DoneTypes, PlayerType, RLBaseTypes, SpaceTypes
-from .envs import EnvCore, make as make_env, register as register_env
+from .envs import EnvConfig, EnvCore, make as make_env, register as register_env
 from .runner import Runner
 
 __version__ = "0.1.0"
@@ -25,6 +25,7 @@ __all__ = [
     "SpaceTypes",
     "algorithms",
     "envs",
+    "EnvConfig",
     "make_env",
     "memories",
     "models",

@@ -1,3 +1,4 @@
+from .config import EnvConfig, ProcessedEnv
 from .core import AutoResetEnv, AutoResetState, EnvCore, TimeStep
 from .registration import make, register, registered_ids
 
@@ -6,6 +7,8 @@ from . import board_games, classic_control, grid, hungry_geese, oneroad, sample_
 
 __all__ = [
     "AutoResetEnv",
+    "EnvConfig",
+    "ProcessedEnv",
     "AutoResetState",
     "EnvCore",
     "TimeStep",

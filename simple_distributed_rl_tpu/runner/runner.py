@@ -27,15 +27,26 @@ from .engine import PlayEngine
 class Runner:
     def __init__(
         self,
-        env: Union[str, EnvCore],
+        env: Union[str, EnvCore, "EnvConfig"],
         algo: AlgoConfig,
         num_envs: int = 128,
         players: Optional[Sequence] = None,
         seed: Optional[int] = None,
         frameskip: int = 0,
         random_noop_max: int = 0,
+        max_episode_steps: Optional[int] = None,
     ):
-        self.env_id = env if isinstance(env, str) else type(env).__name__
+        from ..envs import EnvConfig
+
+        if isinstance(env, EnvConfig):
+            # episode options from the config unless overridden here
+            self.env_id = env.id
+            frameskip = frameskip or env.frameskip
+            random_noop_max = random_noop_max or env.random_noop_max
+            max_episode_steps = max_episode_steps or env.max_episode_steps
+            env = env.make()
+        else:
+            self.env_id = env if isinstance(env, str) else type(env).__name__
         self.env = make_env(env) if isinstance(env, str) else env
         self.algo = algo
         self.num_envs = int(num_envs)
@@ -46,6 +57,7 @@ class Runner:
         self.engine = PlayEngine(
             self.env, self.algo, self.num_envs, players,
             frameskip=frameskip, random_noop_max=random_noop_max,
+            max_episode_steps=max_episode_steps,
         )
         self._carry = None
         self._chunk_fn = None
