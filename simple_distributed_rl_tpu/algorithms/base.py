@@ -152,7 +152,7 @@ class AlgoConfig:
             self.obs_encoder: Encoder = env.observation_space.encoder(
                 self.observation_type, division=self.obs_division
             )
-        self.action_encoder: Encoder = env.action_space.encoder(self.action_type)
+        self.action_encoder: Encoder = env.action_space.encoder(self.action_type, role="action")
         self.action_space: Space = self.action_encoder.space
         self.num_actions: int = env.num_actions
 

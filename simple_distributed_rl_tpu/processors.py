@@ -11,7 +11,7 @@ processor chain, srl/base/env/env_run.py:40-73 + rl/config get_processors).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,17 @@ class Processor:
     def remap(self, x):
         """Pure, jittable value transform matching remap_space."""
         return x
+
+
+def _to_gray(x):
+    """Collapse ANY channel count to 1 so the remapped space ((h, w, 1)) always
+    matches the value — RGB uses luma weights, other widths (e.g. a 4-channel
+    feature-map stack) fall back to the mean (round-1 advisor finding)."""
+    if x.shape[-1] == 1:
+        return x
+    if x.shape[-1] == 3:
+        return jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
+    return jnp.mean(x, axis=-1, keepdims=True)
 
 
 @dataclasses.dataclass
@@ -54,8 +65,7 @@ class ImageProcessor(Processor):
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 2:
             x = x[..., None]
-        if self.grayscale and x.shape[-1] == 3:
-            x = jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
+        x = _to_gray(x) if self.grayscale else x
         h, w = self.resize
         x = jax.image.resize(x, (h, w, x.shape[-1]), method="bilinear")
         if self.normalize:
@@ -106,6 +116,9 @@ class AtariProcessor(Processor):
     resize: Tuple[int, int] = (84, 84)
     grayscale: bool = True
     binarize: bool = False
+    #: optional (top, bottom, left, right) pixel crop applied BEFORE the resize
+    #: (parity: AtariPongProcessor trimming to the playfield, atari_processor.py)
+    crop: Optional[Tuple[int, int, int, int]] = None
 
     def remap_space(self, space: Space) -> Space:
         assert isinstance(space, Box) and space.stype.is_image(), f"not an image space: {space}"
@@ -118,8 +131,10 @@ class AtariProcessor(Processor):
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 2:
             x = x[..., None]
-        if self.grayscale and x.shape[-1] == 3:
-            x = jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
+        if self.crop is not None:
+            t, b, l, r = self.crop
+            x = x[t:b, l:r]
+        x = _to_gray(x) if self.grayscale else x
         h, w = self.resize
         x = jax.image.resize(x, (h, w, x.shape[-1]), method="bilinear")
         if self.binarize:
@@ -128,11 +143,11 @@ class AtariProcessor(Processor):
 
 
 class AtariPongProcessor(AtariProcessor):
-    """Pong preset (parity: atari_processor.py AtariPongProcessor): 64x64 gray,
-    binarized to the two-tone playfield."""
+    """Pong preset (parity: atari_processor.py AtariPongProcessor): trim to the
+    (35:195, 10:150) playfield, then 64x64 gray binarized two-tone."""
 
     def __init__(self, resize: Tuple[int, int] = (64, 64)):
-        super().__init__(resize=resize, grayscale=True, binarize=True)
+        super().__init__(resize=resize, grayscale=True, binarize=True, crop=(35, 195, 10, 150))
 
 
 def apply_processors(space: Space, processors: List[Processor]):

@@ -63,6 +63,7 @@ class Runner:
         self._chunk_fn = None
         self._chunk_steps = None
         self._eval_fns: Dict[tuple, Any] = {}
+        self._eval_calls = 0
 
     # --- state ------------------------------------------------------------
     @property
@@ -115,6 +116,10 @@ class Runner:
             jax.profiler.start_trace(profile_dir)
         while True:
             carry, metrics = self._chunk_fn(carry)
+            # publish the live carry BEFORE callbacks fire so interval checkpoints
+            # (Checkpoint/OrbaxCheckpoint) persist the current state, not the
+            # pre-training one (round-1 advisor finding: mid-loop saves equaled init)
+            self._carry = carry
             stats = {
                 "env_steps": int(carry.env_steps),
                 "episode_count": int(carry.episode_count),
@@ -299,19 +304,37 @@ class Runner:
         self,
         max_episodes: int = 100,
         players: Optional[Sequence] = None,
+        on_incomplete: str = "raise",
     ) -> np.ndarray:
         """Mean episode reward per player over ``max_episodes`` parallel episodes
-        (parity: Runner.evaluate, runner/runner.py:724)."""
-        key = (
+        (parity: Runner.evaluate, runner/runner.py:724).
+
+        Each call advances the eval PRNG (fold_in on a per-runner counter) so
+        repeated evaluations — e.g. the ``Evaluate`` callback — sample fresh
+        episodes instead of replaying the identical set. Episodes that fail to
+        finish within the eval scan would silently contribute 0.0; by default we
+        ``raise`` instead (set ``on_incomplete="ignore"`` to accept partial means)."""
+        cache_key = (
             max_episodes,
             tuple(p if (p is None or isinstance(p, str)) else id(p) for p in players)
             if players
             else None,
         )
-        if key not in self._eval_fns:
+        # the cached entry keeps a strong reference to the player specs so their
+        # id()s can't be recycled onto new objects (round-1 advisor finding)
+        if cache_key not in self._eval_fns:
             engine = PlayEngine(self.env, self.algo, max_episodes, players or self.players)
-            self._eval_fns[key] = engine.build_eval(max_episodes)
-        rewards, complete = self._eval_fns[key](self.algo_state, jax.random.PRNGKey(self.seed + 1))
+            self._eval_fns[cache_key] = (engine.build_eval(max_episodes), players)
+        fn, _specs = self._eval_fns[cache_key]
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 1), self._eval_calls)
+        self._eval_calls += 1
+        rewards, complete = fn(self.algo_state, key)
+        if not bool(complete) and on_incomplete == "raise":
+            raise RuntimeError(
+                "evaluate: some episodes did not finish within the eval scan "
+                "(env never terminates/truncates inside max_episode_steps?); "
+                'pass on_incomplete="ignore" to accept a partial mean'
+            )
         return np.asarray(rewards)
 
     def evaluate_compare_to_baseline_single_player(

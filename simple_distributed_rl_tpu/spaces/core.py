@@ -268,6 +268,15 @@ class ArrayDiscrete(Space):
         if target & RLBaseTypes.DISCRETE:
             if self.n_total <= _MAX_EXACT_DISCRETE:
                 return Encoder(Discrete(self.n_total), self.flat_index, self.from_flat_index)
+            if kwargs.get("role") == "action":
+                # hashing is one-way; decoding a hashed index back to an env action
+                # would silently always yield the low corner (round-1 advisor
+                # finding) — fail loudly instead
+                raise ValueError(
+                    f"{self} is too large for an exact DISCRETE action encode "
+                    f"({self.n_total} > {_MAX_EXACT_DISCRETE}); the hashed fallback "
+                    "only applies to observations"
+                )
             buckets = _HASH_BUCKETS
             low = np.asarray(self.low_arr, np.int32)
             return Encoder(

@@ -56,10 +56,21 @@ def apply_dict_to_dataclass(obj: Any, data: Dict[str, Any]) -> Any:
         elif isinstance(cur, enum.Enum) and isinstance(v, str):
             setattr(obj, k, type(cur)[v])
         elif isinstance(cur, tuple) and isinstance(v, list):
-            setattr(obj, k, tuple(v))
+            setattr(obj, k, tuple(_maybe_instantiate(item) for item in v))
+        elif isinstance(v, list):
+            # re-instantiate serialized objects inside lists (e.g. EnvConfig /
+            # AlgoConfig processor lists) — a plain assignment would leave raw
+            # ``_target_`` dicts behind (round-1 advisor finding)
+            setattr(obj, k, [_maybe_instantiate(item) for item in v])
         else:
             setattr(obj, k, v)
     return obj
+
+
+def _maybe_instantiate(item: Any) -> Any:
+    if isinstance(item, dict) and "_target_" in item:
+        return instantiate(item)
+    return item
 
 
 def instantiate(data: Dict[str, Any], default_cls: Optional[Type] = None) -> Any:
