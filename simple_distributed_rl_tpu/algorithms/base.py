@@ -258,6 +258,22 @@ class AlgoConfig:
         replay algorithms call ``flatten_transitions`` first."""
         return state
 
+    # --- data-parallel sync helpers ----------------------------------------
+    def dp_psum(self, x):
+        """Sum ``x`` (array or pytree) across data-parallel replicas. Identity when
+        not running under a dp mesh. Tabular algorithms psum their table DELTAS with
+        this so learner replicas stay bit-identical — the tabular analog of gradient
+        pmean (replaces the reference's trainer-process aggregation,
+        base/run/play_mp.py:248-286)."""
+        if self.pmean_axis is None:
+            return x
+        return jax.tree.map(lambda v: jax.lax.psum(v, self.pmean_axis), x)
+
+    def dp_pmean(self, x):
+        if self.pmean_axis is None:
+            return x
+        return jax.tree.map(lambda v: jax.lax.pmean(v, self.pmean_axis), x)
+
     @staticmethod
     def flatten_transitions(transitions: Transition, mask: Array) -> Tuple[Transition, Array]:
         flat = jax.tree.map(

@@ -86,6 +86,8 @@ class DynaQConfig(AlgoConfig):
         S = self.num_states
         sum_td = jnp.zeros((S * A,), jnp.float32).at[flat].add(td * m)
         cnt = jnp.zeros((S * A,), jnp.float32).at[flat].add(m)
+        # dp: global mean TD across shards so learner replicas stay identical
+        sum_td, cnt = self.dp_psum(sum_td), self.dp_psum(cnt)
         return q + self.lr * (sum_td / jnp.maximum(cnt, 1.0)).reshape(S, A)
 
     def observe(self, state: DynaQState, t: Transition, mask) -> DynaQState:
@@ -94,22 +96,26 @@ class DynaQConfig(AlgoConfig):
         s, a, n_s = t.obs, t.action, t.next_obs
         done = 1.0 - t.undone
 
-        # model update (dynaq.py _A_MDP.train)
-        trans = state.trans.at[s, a, n_s].add(m)
-        rew_sum = state.rew_sum.at[s, a].add(t.reward * m)
-        done_cnt = state.done_cnt.at[s, a].add(done * m)
-        cnt = state.cnt.at[s, a].add(m)
+        # model update (dynaq.py _A_MDP.train) — deltas psum'd across dp shards so
+        # every replica integrates the GLOBAL experience and stays identical
+        deltas = self.dp_psum(dict(
+            trans=jnp.zeros_like(state.trans).at[s, a, n_s].add(m),
+            rew_sum=jnp.zeros_like(state.rew_sum).at[s, a].add(t.reward * m),
+            done_cnt=jnp.zeros_like(state.done_cnt).at[s, a].add(done * m),
+            cnt=jnp.zeros_like(state.cnt).at[s, a].add(m),
+            n=mask.sum().astype(jnp.int32),
+        ))
 
         # direct Q-learning on real experience (count-normalized batch form)
         q = self._q_update(state.q_table, s, a, t.reward, t.undone, n_s, m)
 
         return DynaQState(
             q_table=q,
-            trans=trans,
-            rew_sum=rew_sum,
-            done_cnt=done_cnt,
-            cnt=cnt,
-            train_count=state.train_count + mask.sum().astype(jnp.int32),
+            trans=state.trans + deltas["trans"],
+            rew_sum=state.rew_sum + deltas["rew_sum"],
+            done_cnt=state.done_cnt + deltas["done_cnt"],
+            cnt=state.cnt + deltas["cnt"],
+            train_count=state.train_count + deltas["n"],
         )
 
     def train(self, state: DynaQState, key: Array, num_steps: int) -> Tuple[DynaQState, Dict[str, Array]]:

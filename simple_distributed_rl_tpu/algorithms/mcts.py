@@ -185,7 +185,10 @@ class MCTSConfig(AlgoConfig):
                     lambda es, t, kk: self._simulate_one(N, W, es, t, kk),
                     in_axes=(0, 0, 0),
                 )(ctx.env_state, ctx.timestep, jax.random.split(k, B))
-                return (N + dN.sum(0), W + dW.sum(0)), None
+                # dp: merge simulation statistics across shards — replicas share one
+                # global search tree and stay bit-identical under train_mp
+                dN, dW = self.dp_psum(dN.sum(0)), self.dp_psum(dW.sum(0))
+                return (N + dN, W + dW), None
 
             key, k_sims = jax.random.split(key)
             (N2, W2), _ = jax.lax.scan(

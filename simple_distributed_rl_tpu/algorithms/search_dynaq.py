@@ -153,29 +153,38 @@ class SearchDynaQConfig(AlgoConfig):
         term = sv.terminated[: T - 1].reshape(-1).astype(jnp.float32)
         m = valid.reshape(-1).astype(jnp.float32)
 
-        trans = state.trans.at[s, a, n_s].add(m)
-        rew_ext_sum = state.rew_ext_sum.at[s, a].add(r_ext * m)
-        done_cnt = state.done_cnt.at[s, a].add(term * m)
-        cnt = state.cnt.at[s, a].add(m)
-        # EMA intrinsic reward per (s, a) (search_dynaq.py:315)
+        # deltas psum'd across dp shards: every replica integrates the GLOBAL
+        # experience, so the learned model/tables stay bit-identical under train_mp
+        d = self.dp_psum(dict(
+            trans=jnp.zeros_like(state.trans).at[s, a, n_s].add(m),
+            rew_ext_sum=jnp.zeros_like(state.rew_ext_sum).at[s, a].add(r_ext * m),
+            done_cnt=jnp.zeros_like(state.done_cnt).at[s, a].add(term * m),
+            cnt=jnp.zeros_like(state.cnt).at[s, a].add(m),
+            rint_sum=jnp.zeros_like(state.rew_int).at[s, a].add(r_int * m),
+            visits=jnp.zeros((self.S,)).at[s].add(m),
+            n=m.sum(),
+        ))
+        # EMA intrinsic reward per (s, a) (search_dynaq.py:315) toward the batch mean
+        # of the new observations (deterministic + shard-identical, vs the reference's
+        # one-at-a-time sequential EMA)
         e = self.int_reward_ema_rate
-        old = state.rew_int[s, a]
-        rew_int = state.rew_int.at[s, a].set(
-            jnp.where(m > 0, e * r_int + (1 - e) * old, old)
+        sa_cnt = jnp.zeros_like(state.rew_int).at[s, a].add(m)
+        sa_cnt = self.dp_psum(sa_cnt)
+        mean_rint = d["rint_sum"] / jnp.maximum(sa_cnt, 1.0)
+        rew_int = jnp.where(
+            sa_cnt > 0, e * mean_rint + (1 - e) * state.rew_int, state.rew_int
         )
-        visits = jnp.zeros((self.S,)).at[s].add(m)
-        lifelong = state.lifelong * (self.lifelong_decrement_rate**visits)
-        action_count = state.action_count.at[s, a].add(m)
+        lifelong = state.lifelong * (self.lifelong_decrement_rate ** d["visits"])
 
         return state.replace(
-            trans=trans,
-            rew_ext_sum=rew_ext_sum,
+            trans=state.trans + d["trans"],
+            rew_ext_sum=state.rew_ext_sum + d["rew_ext_sum"],
             rew_int=rew_int,
-            done_cnt=done_cnt,
-            cnt=cnt,
+            done_cnt=state.done_cnt + d["done_cnt"],
+            cnt=state.cnt + d["cnt"],
             lifelong=lifelong,
-            action_count=action_count,
-            train_count=state.train_count + m.sum().astype(jnp.int32),
+            action_count=state.action_count + d["cnt"],
+            train_count=state.train_count + d["n"].astype(jnp.int32),
         )
 
     def _value_iteration(self, state: SDQState, q0, rewards, discount, policy_prob):

@@ -99,6 +99,8 @@ class VanillaPolicyConfig(AlgoConfig):
             flat = s[:, None] * A + jnp.arange(A)[None, :]
             upd = jnp.zeros((self.num_states * A,), jnp.float32).at[flat.reshape(-1)].add(grad.reshape(-1))
             cnt = jnp.zeros((self.num_states,), jnp.float32).at[s].add(m)
+            # dp: mean policy gradient over the GLOBAL batch keeps replicas identical
+            upd, cnt = self.dp_psum(upd), self.dp_psum(cnt)
             upd = upd.reshape(self.num_states, A) / jnp.maximum(cnt, 1.0)[:, None]
             table = state.table + self.lr * upd
         else:
@@ -109,14 +111,15 @@ class VanillaPolicyConfig(AlgoConfig):
             z = (a - mean) / jnp.maximum(std, 1e-6)
             d_mean = z / jnp.maximum(std, 1e-6) * g * m
             d_log_std = (z**2 - 1.0) * g * m
-            cnt = jnp.maximum(jnp.zeros((self.num_states,)).at[s].add(m), 1.0)
+            sum_mean = self.dp_psum(jnp.zeros((self.num_states,)).at[s].add(d_mean))
+            sum_lstd = self.dp_psum(jnp.zeros((self.num_states,)).at[s].add(d_log_std))
+            cnt = jnp.maximum(self.dp_psum(jnp.zeros((self.num_states,)).at[s].add(m)), 1.0)
             table = {
-                "mean": state.table["mean"]
-                + self.lr * jnp.zeros((self.num_states,)).at[s].add(d_mean) / cnt,
-                "log_std": state.table["log_std"]
-                + self.lr * 0.1 * jnp.zeros((self.num_states,)).at[s].add(d_log_std) / cnt,
+                "mean": state.table["mean"] + self.lr * sum_mean / cnt,
+                "log_std": state.table["log_std"] + self.lr * 0.1 * sum_lstd / cnt,
             }
-        return VPState(table=table, train_count=state.train_count + m.sum().astype(jnp.int32))
+        n = self.dp_psum(m.sum()).astype(jnp.int32)
+        return VPState(table=table, train_count=state.train_count + n)
 
     def train(self, state, key, num_steps):
         return state, {"train_count": state.train_count.astype(jnp.float32)}

@@ -65,7 +65,12 @@ class DataParallelEngine:
         self.num_envs = num_envs_per_shard * self.num_shards
 
     # ------------------------------------------------------------------
-    def init(self, key: jax.Array) -> EngineState:
+    def init(self, key: jax.Array, init_params=None) -> EngineState:
+        """Build the sharded carry. ``init_params`` (a params_of pytree) seeds every
+        learner replica with existing parameters instead of a fresh init — this is how
+        Runner.train_mp continues from previously trained/loaded parameters (parity:
+        the reference's train_mp publishing the runner's current parameter to the
+        actors, srl/runner/runner.py:361-367)."""
         keys = jax.random.split(key, self.num_shards)
 
         def init_shard(k):
@@ -79,7 +84,10 @@ class DataParallelEngine:
         carry = fn(keys)
         # make exploration ladders globally unique: offset env_ids per shard is handled
         # by PolicyContext at policy time via carry.step; params must start identical:
-        params0 = jax.tree.map(lambda x: x[:1], self._algo_params(carry))
+        if init_params is not None:
+            params0 = jax.tree.map(lambda x: jnp.asarray(x)[None], init_params)
+        else:
+            params0 = jax.tree.map(lambda x: x[:1], self._algo_params(carry))
         carry = self._set_algo_params(
             carry, jax.tree.map(lambda x: jnp.broadcast_to(x, (self.num_shards,) + x.shape[1:]), params0)
         )

@@ -179,23 +179,36 @@ class Runner:
         required = getattr(self.algo, "required_chunk_steps", None)
         if required is not None:
             chunk_steps = required
-        fn = dp.build_chunk(chunk_steps, train_steps_per_chunk, training=True)
-        carry = dp.init(jax.random.PRNGKey(self.seed))
-        t0 = time.time()
-        if progress:
-            print(f"### train_mp: {mesh.devices.size} devices x {per_shard} envs")
-        while True:
-            carry, metrics = fn(carry)
-            steps = int(np.sum(np.asarray(carry.env_steps)))
-            if max_steps and steps >= max_steps:
-                break
-            if timeout and time.time() - t0 >= timeout:
-                break
-        # adopt shard 0's replicated learner state into the single-device carry
-        params = jax.tree.map(lambda x: x[0], self.algo.params_of(carry.algo_state))
-        self._carry = self.carry.replace(
-            algo_state=self.algo.restore_params(self.algo_state, params)
-        )
+        try:
+            fn = dp.build_chunk(chunk_steps, train_steps_per_chunk, training=True)
+            # continue from previously trained/loaded parameters (parity: the
+            # reference's train_mp shipping the runner's current parameter,
+            # srl/runner/runner.py:361-367); fresh runs init inside the mesh
+            init_params = (
+                jax.device_get(self.algo.params_of(self.algo_state))
+                if self._carry is not None
+                else None
+            )
+            carry = dp.init(jax.random.PRNGKey(self.seed), init_params)
+            t0 = time.time()
+            if progress:
+                print(f"### train_mp: {mesh.devices.size} devices x {per_shard} envs")
+            while True:
+                carry, metrics = fn(carry)
+                steps = int(np.sum(np.asarray(carry.env_steps)))
+                if max_steps and steps >= max_steps:
+                    break
+                if timeout and time.time() - t0 >= timeout:
+                    break
+            # adopt shard 0's replicated learner state into the single-device carry
+            params = jax.tree.map(lambda x: x[0], self.algo.params_of(carry.algo_state))
+            self._carry = self.carry.replace(
+                algo_state=self.algo.restore_params(self.algo_state, params)
+            )
+        finally:
+            # the dp engine pins algo.pmean_axis for its traces; clear it so later
+            # single-device train/rollout/eval traces don't reference an unbound axis
+            self.algo.pmean_axis = None
         elapsed = time.time() - t0
         if progress:
             print(f"### train_mp done: {steps:,} steps in {elapsed:.1f}s ({steps/elapsed:,.0f} st/s)")
