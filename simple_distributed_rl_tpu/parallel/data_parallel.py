@@ -31,8 +31,20 @@ from ..runner.engine import EngineState, PlayEngine
 
 
 def make_mesh(num_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    """Mesh over the GLOBAL device list: after ``multihost.initialize`` this spans
+    every host's chips, so the same dp axis rides ICI within a slice and DCN across
+    hosts (SURVEY.md §2.6 TPU-native mapping)."""
     devs = jax.devices()[: (num_devices or len(jax.devices()))]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def _host_read(x) -> np.ndarray:
+    """Read an array that may be a non-fully-addressable global array (multi-host):
+    replicated outputs are identical on every shard, so the first local shard IS the
+    value."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
 
 
 def _unstack(tree):
@@ -71,27 +83,48 @@ class DataParallelEngine:
         Runner.train_mp continues from previously trained/loaded parameters (parity:
         the reference's train_mp publishing the runner's current parameter to the
         actors, srl/runner/runner.py:361-367)."""
-        keys = jax.random.split(key, self.num_shards)
+        keys = np.asarray(jax.random.split(key, self.num_shards))
+        # learner params must start identical on every replica: every shard re-inits
+        # the algo state from the SAME key (works on one host and across hosts, where
+        # post-hoc host-side broadcasting of non-addressable shards is impossible)
+        k_algo = jax.random.fold_in(key, 0x5EED)
+        if init_params is not None:
+            init_params = jax.tree.map(np.asarray, jax.device_get(init_params))
 
         def init_shard(k):
-            return _stack(self.engine.init(k[0]))
+            c = self.engine.init(k[0])
+            algo_state = self.algo.init(k_algo)
+            if init_params is not None:
+                algo_state = self.algo.restore_params(
+                    algo_state, jax.tree.map(jnp.asarray, init_params)
+                )
+            return _stack(c.replace(algo_state=algo_state))
 
         fn = jax.jit(
             jax.shard_map(
                 init_shard, mesh=self.mesh, in_specs=P(self.axis), out_specs=P(self.axis), check_vma=False
             )
         )
-        carry = fn(keys)
-        # make exploration ladders globally unique: offset env_ids per shard is handled
-        # by PolicyContext at policy time via carry.step; params must start identical:
-        if init_params is not None:
-            params0 = jax.tree.map(lambda x: jnp.asarray(x)[None], init_params)
-        else:
-            params0 = jax.tree.map(lambda x: x[:1], self._algo_params(carry))
-        carry = self._set_algo_params(
-            carry, jax.tree.map(lambda x: jnp.broadcast_to(x, (self.num_shards,) + x.shape[1:]), params0)
-        )
-        return carry
+        return fn(self._shard_keys(keys))
+
+    def _shard_keys(self, keys: np.ndarray):
+        """[num_shards, ...] host keys -> input for a P(axis) shard_map (a global
+        array when the mesh spans processes)."""
+        from . import multihost
+
+        if multihost.is_multiprocess():
+            return multihost.to_global(self.mesh, self.axis, keys)
+        return jnp.asarray(keys)
+
+    def total_env_steps(self, carry) -> int:
+        """Global env-step count, multi-host safe. Every shard advances ``B`` envs per
+        lockstep step, so per-shard counters are identical — one local shard times the
+        shard count is exact."""
+        x = carry.env_steps
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            per_shard = int(np.asarray(x.addressable_shards[0].data)[0])
+            return per_shard * self.num_shards
+        return int(np.sum(np.asarray(x)))
 
     def _algo_params(self, carry):
         return self.algo.params_of(carry.algo_state)
@@ -145,21 +178,25 @@ class DataParallelEngine:
 
         def shard_fn(carry_algo, keys):
             rewards, complete = eval_inner(_unstack(carry_algo), keys[0])
-            return rewards[None], complete[None]
+            # reduce INSIDE the program (multi-host safe: the replicated output is
+            # readable from any process's local shards)
+            rewards = jax.lax.pmean(rewards, self.axis)
+            complete = jax.lax.pmin(complete.astype(jnp.int32), self.axis)
+            return rewards, complete
 
         fn = jax.jit(
             jax.shard_map(
                 shard_fn,
                 mesh=self.mesh,
                 in_specs=(P(self.axis), P(self.axis)),
-                out_specs=(P(self.axis), P(self.axis)),
+                out_specs=(P(), P()),
                 check_vma=False,
             )
         )
 
         def eval_fn(carry: EngineState, key):
-            keys = jax.random.split(key, self.num_shards)
-            rewards, complete = fn(carry.algo_state, keys)
-            return jnp.mean(rewards, axis=0), jnp.all(complete)
+            keys = np.asarray(jax.random.split(key, self.num_shards))
+            rewards, complete = fn(carry.algo_state, self._shard_keys(keys))
+            return _host_read(rewards), bool(_host_read(complete))
 
         return eval_fn

@@ -195,13 +195,18 @@ class Runner:
                 print(f"### train_mp: {mesh.devices.size} devices x {per_shard} envs")
             while True:
                 carry, metrics = fn(carry)
-                steps = int(np.sum(np.asarray(carry.env_steps)))
+                steps = dp.total_env_steps(carry)
                 if max_steps and steps >= max_steps:
                     break
                 if timeout and time.time() - t0 >= timeout:
                     break
-            # adopt shard 0's replicated learner state into the single-device carry
-            params = jax.tree.map(lambda x: x[0], self.algo.params_of(carry.algo_state))
+            # adopt one replica's learner state into the single-device carry (all
+            # replicas are identical; multi-host safe via the local shard)
+            from ..parallel.multihost import read_local_shard
+
+            params = jax.tree.map(
+                jnp.asarray, read_local_shard(self.algo.params_of(carry.algo_state))
+            )
             self._carry = self.carry.replace(
                 algo_state=self.algo.restore_params(self.algo_state, params)
             )
