@@ -1,17 +1,27 @@
 """Gymnasium interop — the escape hatch for host-side (non-jittable) envs.
 
-Parity target: srl/base/env/gymnasium_wrapper.py:31-228 (space auto-conversion,
-value encode/decode, seed plumbing). Unlike the built-in pure-function envs this
-wrapper steps on the HOST via ``jax.experimental.io_callback`` — it exists for
-capability coverage (any gymnasium env runs), not for the TPU fast path. Prefer the
-native envs in this package (CartPole/Pendulum/... are re-implemented as pure JAX) for
-throughput.
+Parity target: srl/base/env/gymnasium_wrapper.py:31-228 (recursive space
+auto-conversion incl. Dict/Tuple -> Multi, value encode/decode, seed plumbing, render
+passthrough). Unlike the built-in pure-function envs this wrapper steps on the HOST —
+it exists for capability coverage (any gymnasium env runs), not for the TPU fast path.
+Prefer the native envs in this package (CartPole/Pendulum/... are re-implemented as
+pure JAX) for throughput.
+
+Vectorization design (round-2 rebuild): the engine cannot ``vmap`` an ordered host
+callback, and unordered callbacks cannot drive a stateful env pool safely. Instead the
+adapter provides a NATIVELY BATCHED auto-reset transform (``HostBatchedAutoReset``):
+one ordered ``io_callback`` per lockstep step carries the whole [B] batch of actions
+to the host, where a pool of B dedicated env instances (indexed by slot id) steps
+sequentially — reset-on-done, frameskip, noop-reset and ALE life-loss handled next to
+the envs themselves. The play engine detects ``is_host_batched`` and skips its own
+vmap/AutoResetEnv for these envs.
 """
 
 from __future__ import annotations
 
 import importlib.util
-from typing import Tuple
+import threading
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,10 +29,11 @@ import numpy as np
 from flax import struct
 
 from ..define import SpaceTypes
-from ..spaces import Box, Discrete, Space
+from ..spaces import ArrayDiscrete, Box, Discrete, Multi, Space, Text
 from .core import EnvCore, TimeStep
 
 _HAS_GYMNASIUM = importlib.util.find_spec("gymnasium") is not None
+_HAS_GYM = importlib.util.find_spec("gym") is not None
 
 
 def is_available(env_id: str) -> bool:
@@ -33,16 +44,30 @@ def is_available(env_id: str) -> bool:
     return env_id in gymnasium.registry
 
 
+# ---------------------------------------------------------------------------
+# Recursive space/value conversion (parity: gymnasium_wrapper.py:31-226)
+# ---------------------------------------------------------------------------
+
 def convert_space(gym_space) -> Space:
-    """gymnasium space -> native space (parity: gymnasium_wrapper.py:31-226)."""
+    """gymnasium space -> native space, recursing through Dict/Tuple into Multi
+    (parity: the reference's recursive flatten to MultiSpace,
+    srl/base/env/gymnasium_wrapper.py:31-136)."""
     import gymnasium
 
     if isinstance(gym_space, gymnasium.spaces.Discrete):
         return Discrete(int(gym_space.n), start=int(gym_space.start))
+    if isinstance(gym_space, gymnasium.spaces.MultiDiscrete):
+        nvec = np.asarray(gym_space.nvec).reshape(-1)
+        return ArrayDiscrete(int(nvec.size), 0, tuple((nvec - 1).tolist()))
+    if isinstance(gym_space, gymnasium.spaces.MultiBinary):
+        n = int(np.prod(gym_space.shape))
+        return ArrayDiscrete(n, 0, 1)
     if isinstance(gym_space, gymnasium.spaces.Box):
         stype = SpaceTypes.CONTINUOUS
         if len(gym_space.shape) == 3 and gym_space.dtype == np.uint8:
             stype = SpaceTypes.COLOR if gym_space.shape[-1] == 3 else SpaceTypes.FEATURE_MAP
+        elif len(gym_space.shape) == 2 and gym_space.dtype == np.uint8:
+            stype = SpaceTypes.GRAY_2ch
         return Box(
             gym_space.shape,
             float(np.min(gym_space.low)),
@@ -50,7 +75,66 @@ def convert_space(gym_space) -> Space:
             jnp.dtype(gym_space.dtype),
             stype,
         )
+    if isinstance(gym_space, gymnasium.spaces.Text):
+        return Text(max_length=int(gym_space.max_length))
+    if isinstance(gym_space, gymnasium.spaces.Tuple):
+        return Multi([convert_space(s) for s in gym_space.spaces])
+    if isinstance(gym_space, gymnasium.spaces.Dict):
+        return Multi([convert_space(gym_space.spaces[k]) for k in sorted(gym_space.spaces)])
     raise ValueError(f"unsupported gymnasium space: {gym_space}")
+
+
+def make_obs_converter(gym_space, native: Space) -> Callable[[Any], Any]:
+    """host gym observation value -> native space value (numpy pytree)."""
+    import gymnasium
+
+    if isinstance(gym_space, gymnasium.spaces.Tuple):
+        subs = [make_obs_converter(s, n) for s, n in zip(gym_space.spaces, native.spaces)]
+        return lambda v: tuple(f(x) for f, x in zip(subs, v))
+    if isinstance(gym_space, gymnasium.spaces.Dict):
+        keys = sorted(gym_space.spaces)
+        subs = [make_obs_converter(gym_space.spaces[k], n) for k, n in zip(keys, native.spaces)]
+        return lambda v: tuple(f(v[k]) for f, k in zip(subs, keys))
+    if isinstance(gym_space, (gymnasium.spaces.MultiDiscrete, gymnasium.spaces.MultiBinary)):
+        return lambda v: np.asarray(v, np.int32).reshape(-1)
+    if isinstance(gym_space, gymnasium.spaces.Discrete):
+        return lambda v: np.asarray(v, np.int32)
+    dtype = native.dtype
+    return lambda v: np.asarray(v, dtype)
+
+
+def make_action_converter(gym_space) -> Callable[[Any], Any]:
+    """native action value -> host gym action value (the decode direction,
+    parity: gymnasium_wrapper.py action decode)."""
+    import gymnasium
+
+    if isinstance(gym_space, gymnasium.spaces.Tuple):
+        subs = [make_action_converter(s) for s in gym_space.spaces]
+        return lambda v: tuple(f(x) for f, x in zip(subs, v))
+    if isinstance(gym_space, gymnasium.spaces.Dict):
+        keys = sorted(gym_space.spaces)
+        subs = [make_action_converter(gym_space.spaces[k]) for k in keys]
+        return lambda v: {k: f(x) for k, f, x in zip(keys, subs, v)}
+    if isinstance(gym_space, gymnasium.spaces.Discrete):
+        return lambda v: int(np.asarray(v))
+    if isinstance(gym_space, (gymnasium.spaces.MultiDiscrete, gymnasium.spaces.MultiBinary)):
+        return lambda v: np.asarray(v, gym_space.dtype).reshape(gym_space.shape)
+    return lambda v: np.asarray(v, gym_space.dtype).reshape(gym_space.shape)
+
+
+def _obs_shape_dtypes(space: Space):
+    """ShapeDtypeStruct pytree for a native obs space value."""
+    if isinstance(space, Multi):
+        return tuple(_obs_shape_dtypes(s) for s in space.spaces)
+    if isinstance(space, ArrayDiscrete):
+        return jax.ShapeDtypeStruct((space.size,), jnp.int32)
+    if isinstance(space, Discrete):
+        return jax.ShapeDtypeStruct((), jnp.int32)
+    return jax.ShapeDtypeStruct(space.shape, space.dtype)
+
+
+def _batched(sds, B):
+    return jax.tree.map(lambda s: jax.ShapeDtypeStruct((B,) + s.shape, s.dtype), sds)
 
 
 @struct.dataclass
@@ -59,27 +143,101 @@ class HostEnvState:
 
 
 class GymnasiumEnv(EnvCore):
-    """Single-instance host env bridged into the functional protocol. Each jittable
-    reset/step escapes to the host through io_callback (ordered per slot)."""
+    """Host env bridged into the functional protocol, backed by a POOL of instances
+    (one per vectorized slot). Single-instance ``reset/step`` serve the host-driven
+    paths (render/play/check_env); the play engine uses ``make_batched_autoreset``
+    for vectorized lockstep."""
 
-    def __init__(self, env_id: str, terminal_on_life_loss: bool = False, **kwargs):
+    is_host_env = True  # check_env: skip pure-function determinism checks
+    is_host_batched = True  # play engine: use HostBatchedAutoReset, not vmap
+
+    def __init__(
+        self,
+        env_id: Optional[str] = None,
+        terminal_on_life_loss: bool = False,
+        env_factory: Optional[Callable[[], Any]] = None,
+        render_mode: Optional[str] = None,
+        **kwargs,
+    ):
         import gymnasium
 
-        self.env_id = env_id
-        self._env = gymnasium.make(env_id, **kwargs)
-        self._aspace = convert_space(self._env.action_space)
-        self._ospace = convert_space(self._env.observation_space)
-        spec_steps = getattr(self._env.spec, "max_episode_steps", None)
-        self._max_steps = int(spec_steps or 99_999)
-        # ALE life-loss episode semantics (parity: AtariProcessor.remap_step,
-        # srl/envs/processors/atari_processor.py:44-52) — host-side, like the env itself.
+        assert env_id or env_factory, "need env_id or env_factory"
+        self.env_id = env_id or "custom"
+        if env_factory is None:
+            env_factory = lambda: gymnasium.make(env_id, **kwargs)  # noqa: E731
+        self._factory = env_factory
+        self._render_mode = render_mode
+        self._kwargs = kwargs
         self._terminal_on_life_loss = bool(terminal_on_life_loss)
-        self._lives = 0
 
-    def _ale_lives(self) -> int:
-        ale = getattr(getattr(self._env, "unwrapped", self._env), "ale", None)
+        self._lock = threading.Lock()
+        self._pool: dict = {}  # slot -> (env, lives)
+        self._slot_base = 0
+        template = self._make_instance(render=False)
+        self._template = template
+        self._gym_aspace = template.action_space
+        self._gym_ospace = template.observation_space
+        self._aspace = convert_space(self._gym_aspace)
+        self._ospace = convert_space(self._gym_ospace)
+        self._obs_conv = make_obs_converter(self._gym_ospace, self._ospace)
+        self._act_conv = make_action_converter(self._gym_aspace)
+        spec = getattr(template, "spec", None)
+        spec_steps = getattr(spec, "max_episode_steps", None) if spec else None
+        self._max_steps = int(spec_steps or 99_999)
+        self._interactive_slot = self.allocate_slots(1)
+        self._obs_sds = _obs_shape_dtypes(self._ospace)
+
+    # --- pool management ---------------------------------------------------
+    def _make_instance(self, render: bool):
+        if render:
+            try:
+                import gymnasium
+
+                if self.env_id != "custom":
+                    return gymnasium.make(
+                        self.env_id, render_mode=self._render_mode or "rgb_array", **self._kwargs
+                    )
+            except Exception:
+                pass
+        return self._factory()
+
+    def allocate_slots(self, n: int) -> int:
+        """Reserve ``n`` consecutive slot ids; returns the first. Each engine (train /
+        eval / interactive) gets its own range, so pools never collide."""
+        with self._lock:
+            base = self._slot_base
+            self._slot_base += n
+        return base
+
+    def _get(self, slot: int):
+        ent = self._pool.get(slot)
+        if ent is None:
+            # the interactive slot renders (frames for gif/play windows)
+            env = self._make_instance(render=(slot == self._interactive_slot))
+            ent = {"env": env, "lives": 0}
+            self._pool[slot] = ent
+        return ent
+
+    def _ale_lives(self, env) -> int:
+        ale = getattr(getattr(env, "unwrapped", env), "ale", None)
         return int(ale.lives()) if ale is not None else 0
 
+    def _do_reset(self, ent, seed: int):
+        obs, _ = ent["env"].reset(seed=int(seed) & 0x7FFFFFFF)
+        if self._terminal_on_life_loss:
+            ent["lives"] = self._ale_lives(ent["env"])
+        return self._obs_conv(obs)
+
+    def _do_step(self, ent, action):
+        obs, reward, terminated, truncated, _ = ent["env"].step(self._act_conv(action))
+        if self._terminal_on_life_loss:
+            lives = self._ale_lives(ent["env"])
+            if lives < ent["lives"]:
+                terminated = True
+            ent["lives"] = lives
+        return self._obs_conv(obs), float(reward), bool(terminated), bool(truncated)
+
+    # --- static metadata ----------------------------------------------------
     @property
     def action_space(self):
         return self._aspace
@@ -92,45 +250,28 @@ class GymnasiumEnv(EnvCore):
     def max_episode_steps(self) -> int:
         return self._max_steps
 
-    # host callbacks ------------------------------------------------------
+    # --- single-instance protocol (host player / check_env; NOT vmappable) ---
     def _host_reset(self, seed):
-        obs, _ = self._env.reset(seed=int(seed))
-        if self._terminal_on_life_loss:
-            self._lives = self._ale_lives()
-        return np.asarray(obs, self._ospace.dtype)
+        with self._lock:
+            ent = self._get(self._interactive_slot)
+            return self._do_reset(ent, int(seed))
 
     def _host_step(self, action):
-        a = np.asarray(action)
-        if isinstance(self._aspace, Discrete):
-            a = int(a)
-        obs, reward, terminated, truncated, _ = self._env.step(a)
-        if self._terminal_on_life_loss:
-            new_lives = self._ale_lives()
-            if new_lives < self._lives:
-                terminated = True
-            self._lives = new_lives
-        return (
-            np.asarray(obs, self._ospace.dtype),
-            np.float32(reward),
-            np.bool_(terminated),
-            np.bool_(truncated),
-        )
+        with self._lock:
+            ent = self._get(self._interactive_slot)
+            obs, r, te, tr = self._do_step(ent, action)
+            return obs, np.float32(r), np.bool_(te), np.bool_(tr)
 
     def reset(self, key) -> Tuple[HostEnvState, TimeStep]:
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
-        obs = jax.experimental.io_callback(
-            self._host_reset,
-            jax.ShapeDtypeStruct(self._ospace.shape, self._ospace.dtype),
-            seed,
-            ordered=True,
-        )
-        return HostEnvState(slot=jnp.asarray(0, jnp.int32)), self.timestep(obs)
+        obs = jax.experimental.io_callback(self._host_reset, self._obs_sds, seed, ordered=True)
+        return HostEnvState(slot=jnp.asarray(self._interactive_slot, jnp.int32)), self.timestep(obs)
 
     def step(self, state, action, key) -> Tuple[HostEnvState, TimeStep]:
         obs, reward, terminated, truncated = jax.experimental.io_callback(
             self._host_step,
             (
-                jax.ShapeDtypeStruct(self._ospace.shape, self._ospace.dtype),
+                self._obs_sds,
                 jax.ShapeDtypeStruct((), jnp.float32),
                 jax.ShapeDtypeStruct((), jnp.bool_),
                 jax.ShapeDtypeStruct((), jnp.bool_),
@@ -139,6 +280,233 @@ class GymnasiumEnv(EnvCore):
             ordered=True,
         )
         return state, self.timestep(obs, reward, terminated, truncated)
+
+    # --- render passthrough (parity: gymnasium_wrapper render) ---------------
+    def render_rgb(self, state) -> Optional[np.ndarray]:
+        ent = self._pool.get(self._interactive_slot)
+        if ent is None:
+            return None
+        try:
+            frame = ent["env"].render()
+        except Exception:
+            return None
+        if frame is None:
+            return None
+        return np.asarray(frame)
+
+    # --- engine hook ---------------------------------------------------------
+    def make_batched_autoreset(
+        self,
+        num_envs: int,
+        max_episode_steps: Optional[int] = None,
+        frameskip: int = 0,
+        random_noop_max: int = 0,
+    ) -> "HostBatchedAutoReset":
+        return HostBatchedAutoReset(
+            self, num_envs, max_episode_steps, frameskip, random_noop_max
+        )
+
+
+@struct.dataclass
+class HostBatchState:
+    """Batched carried state mirroring AutoResetState for host envs."""
+
+    env_state: HostEnvState  # slot [B]
+    step_num: jax.Array  # [B] int32
+    episode_reward: jax.Array  # [B, P]
+    last_episode_reward: jax.Array  # [B, P]
+    last_episode_steps: jax.Array  # [B] int32
+
+
+class HostBatchedAutoReset:
+    """Batched auto-reset transform over a host env pool: ONE ordered io_callback per
+    lockstep step (reset-on-done + frameskip + noop-reset handled host-side, next to
+    the env instances). Drop-in for the engine's vmapped AutoResetEnv — same
+    truncation/accounting semantics (env_run.py:361-368 strictly-greater rule)."""
+
+    def __init__(self, env: GymnasiumEnv, num_envs: int, max_episode_steps=None,
+                 frameskip: int = 0, random_noop_max: int = 0):
+        self.env = env
+        self.B = int(num_envs)
+        self.max_episode_steps = int(max_episode_steps or env.max_episode_steps)
+        self.frameskip = int(frameskip)
+        self.random_noop_max = int(random_noop_max)
+        self.slot0 = env.allocate_slots(self.B)
+        self._rng = np.random.RandomState()
+        self._obs_sds_b = _batched(env._obs_sds, self.B)
+
+    # --- host side ------------------------------------------------------------
+    def _host_reset_batch(self, seeds):
+        env = self.env
+        with env._lock:
+            obs = []
+            for i in range(self.B):
+                ent = env._get(self.slot0 + i)
+                obs.append(self._reset_with_noops(ent, int(seeds[i])))
+            return jax.tree.map(lambda *xs: np.stack(xs), *obs)
+
+    def _reset_with_noops(self, ent, seed):
+        obs = self.env._do_reset(ent, seed)
+        if self.random_noop_max > 0:
+            rng = np.random.RandomState(seed & 0x7FFFFFFF)
+            for _ in range(rng.randint(0, self.random_noop_max + 1)):
+                a = self.env._gym_aspace.sample()
+                o, _, te, tr, _ = ent["env"].step(a)
+                if te or tr:
+                    obs = self.env._do_reset(ent, seed + 1)
+                    break
+                obs = self.env._obs_conv(o)
+        return obs
+
+    def _host_step_batch(self, prev_done, actions, seeds):
+        env = self.env
+        with env._lock:
+            obs_l, rew_l, te_l, tr_l = [], [], [], []
+            for i in range(self.B):
+                ent = env._get(self.slot0 + i)
+                if bool(prev_done[i]):
+                    obs = self._reset_with_noops(ent, int(seeds[i]))
+                    r, te, tr = 0.0, False, False
+                else:
+                    a = jax.tree.map(lambda x: np.asarray(x)[i], actions)
+                    obs, r, te, tr = env._do_step(ent, a)
+                    for _ in range(self.frameskip):
+                        if te or tr:
+                            break
+                        obs, r2, te, tr = env._do_step(ent, a)
+                        r += r2
+                obs_l.append(obs)
+                rew_l.append(r)
+                te_l.append(te)
+                tr_l.append(tr)
+            return (
+                jax.tree.map(lambda *xs: np.stack(xs), *obs_l),
+                np.asarray(rew_l, np.float32),
+                np.asarray(te_l, np.bool_),
+                np.asarray(tr_l, np.bool_),
+            )
+
+    # --- jit side (same signatures as vmapped AutoResetEnv.reset/step) ---------
+    def reset_batch(self, keys) -> Tuple[HostBatchState, TimeStep]:
+        B = self.B
+        seeds = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2**31 - 1))(keys)
+        obs = jax.experimental.io_callback(
+            self._host_reset_batch, self._obs_sds_b, seeds, ordered=True
+        )
+        A = self.env.num_actions
+        ts = TimeStep(
+            obs=obs,
+            rewards=jnp.zeros((B, 1), jnp.float32),
+            terminated=jnp.zeros((B,), jnp.bool_),
+            truncated=jnp.zeros((B,), jnp.bool_),
+            invalid_mask=jnp.zeros((B, A), jnp.bool_),
+            next_player=jnp.zeros((B,), jnp.int32),
+        )
+        state = HostBatchState(
+            env_state=HostEnvState(
+                slot=jnp.arange(self.slot0, self.slot0 + B, dtype=jnp.int32)
+            ),
+            step_num=jnp.zeros((B,), jnp.int32),
+            episode_reward=jnp.zeros((B, 1), jnp.float32),
+            last_episode_reward=jnp.zeros((B, 1), jnp.float32),
+            last_episode_steps=jnp.zeros((B,), jnp.int32),
+        )
+        return state, ts
+
+    def step_batch(self, state: HostBatchState, prev_ts: TimeStep, action, keys):
+        B = self.B
+        seeds = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2**31 - 1))(keys)
+        was_reset = jnp.logical_or(prev_ts.terminated, prev_ts.truncated)
+        obs, rewards, terminated, truncated = jax.experimental.io_callback(
+            self._host_step_batch,
+            (
+                self._obs_sds_b,
+                jax.ShapeDtypeStruct((B,), jnp.float32),
+                jax.ShapeDtypeStruct((B,), jnp.bool_),
+                jax.ShapeDtypeStruct((B,), jnp.bool_),
+            ),
+            was_reset,
+            action,
+            seeds,
+            ordered=True,
+        )
+        step_num = jnp.where(was_reset, 0, state.step_num + 1)
+        # strictly-greater truncation rule (env_run.py:361); reset rows are fresh
+        truncated = jnp.logical_or(truncated, step_num > self.max_episode_steps)
+        truncated = jnp.where(
+            was_reset, False, jnp.logical_and(truncated, jnp.logical_not(terminated))
+        )
+        terminated = jnp.where(was_reset, False, terminated)
+        rewards_vec = jnp.where(was_reset, 0.0, rewards)[:, None]
+        ep_reward = jnp.where(was_reset[:, None], 0.0, state.episode_reward) + rewards_vec
+        done = jnp.logical_or(terminated, truncated)
+        A = self.env.num_actions
+        ts = TimeStep(
+            obs=obs,
+            rewards=rewards_vec,
+            terminated=terminated,
+            truncated=truncated,
+            invalid_mask=jnp.zeros((B, A), jnp.bool_),
+            next_player=jnp.zeros((B,), jnp.int32),
+        )
+        new = HostBatchState(
+            env_state=state.env_state,
+            step_num=step_num,
+            episode_reward=ep_reward,
+            last_episode_reward=jnp.where(
+                done[:, None], ep_reward, state.last_episode_reward
+            ),
+            last_episode_steps=jnp.where(done, step_num, state.last_episode_steps),
+        )
+        return new, ts
+
+
+class GymLegacyEnv(GymnasiumEnv):
+    """Legacy ``gym`` (pre-gymnasium) adapter (parity: srl/base/env/gym_wrapper.py):
+    translates the 4-tuple step API and seed-on-construct reset. Import-gated — only
+    usable when the legacy ``gym`` package is installed."""
+
+    def __init__(self, env_id: str, **kwargs):
+        assert _HAS_GYM, "legacy gym is not installed"
+        import gym
+
+        def factory():
+            return _LegacyShim(gym.make(env_id, **kwargs))
+
+        super().__init__(env_id=env_id, env_factory=factory)
+
+
+class _LegacyShim:
+    """Wrap a legacy gym env in the gymnasium 5-tuple protocol."""
+
+    def __init__(self, env):
+        self._env = env
+        self.action_space = env.action_space
+        self.observation_space = env.observation_space
+        self.spec = getattr(env, "spec", None)
+        self.unwrapped = getattr(env, "unwrapped", env)
+
+    def reset(self, seed=None):
+        try:
+            out = self._env.reset(seed=seed)
+        except TypeError:
+            if seed is not None and hasattr(self._env, "seed"):
+                self._env.seed(seed)
+            out = self._env.reset()
+        if isinstance(out, tuple) and len(out) == 2:
+            return out
+        return out, {}
+
+    def step(self, action):
+        out = self._env.step(action)
+        if len(out) == 5:
+            return out
+        obs, reward, done, info = out
+        truncated = bool(info.get("TimeLimit.truncated", False))
+        return obs, reward, done and not truncated, truncated, info
+
+    def render(self):
+        return self._env.render()
 
 
 def make(env_id: str, **kwargs) -> GymnasiumEnv:

@@ -127,7 +127,19 @@ class PlayEngine:
         # epsilon/beta ladders stay globally unique (parity: actor_id in
         # setup_from_actor, srl/base/rl/config.py:184)
         self.env_id_offset = int(env_id_offset)
-        self.aenv = AutoResetEnv(env, max_episode_steps, frameskip, random_noop_max)
+        self.is_host_batched = bool(getattr(env, "is_host_batched", False))
+        if self.is_host_batched:
+            # host env pool (gym adapter): natively batched auto-reset — one ordered
+            # host callback per lockstep step, B dedicated instances by slot id
+            assert not algo.needs_env_state, (
+                "search algorithms need a jittable env model; host (gym) envs "
+                "cannot be simulated inside the compiled chunk"
+            )
+            self.aenv = env.make_batched_autoreset(
+                num_envs, max_episode_steps, frameskip, random_noop_max
+            )
+        else:
+            self.aenv = AutoResetEnv(env, max_episode_steps, frameskip, random_noop_max)
         self.player_codes, opp_specs = resolve_players(
             players, env.player_num, env.worker_names
         )
@@ -151,9 +163,13 @@ class PlayEngine:
         self.A = env.num_actions
         self.is_discrete_action = isinstance(env.action_space, Discrete)
 
-        # vmapped env fns
-        self._v_reset = jax.vmap(self.aenv.reset)
-        self._v_step = jax.vmap(self.aenv.step)
+        # vmapped env fns (host-batched envs carry the batch inside ONE callback)
+        if self.is_host_batched:
+            self._v_reset = self.aenv.reset_batch
+            self._v_step = self.aenv.step_batch
+        else:
+            self._v_reset = jax.vmap(self.aenv.reset)
+            self._v_step = jax.vmap(self.aenv.step)
         self._v_act_dec = jax.vmap(algo.action_encoder.decode)
         self._v_act_enc = jax.vmap(algo.action_encoder.encode)
         self._v_sample = jax.vmap(env.action_space.sample)

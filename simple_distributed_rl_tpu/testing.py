@@ -35,13 +35,16 @@ def check_env(env: EnvCore, steps: int = 200, seed: int = 0) -> None:
     chex_shape = jax.tree.map(jnp.shape, ts.obs)
     del chex_shape
 
-    # determinism: same (state, action, key) -> identical results
-    k2, key = jax.random.split(key)
-    a = aspace.sample(k2, ts.invalid_mask)
-    s1, t1 = env.step(state, a, k2)
-    s2, t2 = env.step(state, a, k2)
-    for x, y in zip(jax.tree.leaves((s1, t1.obs)), jax.tree.leaves((s2, t2.obs))):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # determinism: same (state, action, key) -> identical results (host-backed envs
+    # are stateful on the host, so the pure-function property doesn't apply there)
+    is_host = bool(getattr(env, "is_host_env", False))
+    if not is_host:
+        k2, key = jax.random.split(key)
+        a = aspace.sample(k2, ts.invalid_mask)
+        s1, t1 = env.step(state, a, k2)
+        s2, t2 = env.step(state, a, k2)
+        for x, y in zip(jax.tree.leaves((s1, t1.obs)), jax.tree.leaves((s2, t2.obs))):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
     # random rollout obeys the declared spaces
     state, ts = env.reset(k1)
@@ -57,6 +60,16 @@ def check_env(env: EnvCore, steps: int = 200, seed: int = 0) -> None:
         if bool(ts.terminated) or bool(ts.truncated):
             key, kr = jax.random.split(key)
             state, ts = env.reset(kr)
+
+    if is_host:
+        # host envs vectorize through the batched pool transform instead of vmap
+        bar = env.make_batched_autoreset(4)
+        b_state, b_ts = bar.reset_batch(jax.random.split(key, 4))
+        b_a = jax.vmap(aspace.sample)(jax.random.split(key, 4), b_ts.invalid_mask)
+        key, kb = jax.random.split(key)
+        b_state2, b_ts2 = bar.step_batch(b_state, b_ts, b_a, jax.random.split(kb, 4))
+        assert b_ts2.rewards.shape == (4, P)
+        return
 
     # vmap-ability: the core TPU requirement
     B = 8

@@ -1,0 +1,163 @@
+"""Gym bridge tests (VERDICT round-1 missing #2): per-slot host env pool under the
+batched auto-reset transform, recursive Dict/Tuple -> Multi space conversion, render
+passthrough, and a vectorized DQN smoke on gymnasium CartPole.
+
+Parity target: srl/base/env/gymnasium_wrapper.py:31-226 + the reference's gym test
+tier (tests/quick/base/env/test_gymnasium_wrapper.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+gymnasium = pytest.importorskip("gymnasium")
+
+import simple_distributed_rl_tpu as srl
+from simple_distributed_rl_tpu import testing
+from simple_distributed_rl_tpu.envs.gym_adapter import (
+    GymnasiumEnv,
+    convert_space,
+    make_action_converter,
+    make_obs_converter,
+)
+from simple_distributed_rl_tpu.spaces import ArrayDiscrete, Box, Discrete, Multi
+
+
+def test_check_env_cartpole():
+    env = GymnasiumEnv("CartPole-v1")
+    testing.check_env(env, steps=60)
+
+
+def test_space_conversion_primitives():
+    sp = gymnasium.spaces
+    assert isinstance(convert_space(sp.Discrete(5)), Discrete)
+    md = convert_space(sp.MultiDiscrete([3, 4, 5]))
+    assert isinstance(md, ArrayDiscrete) and md.size == 3
+    assert np.asarray(md.high_arr).tolist() == [2, 3, 4]
+    mb = convert_space(sp.MultiBinary(6))
+    assert isinstance(mb, ArrayDiscrete) and mb.size == 6
+    box = convert_space(sp.Box(-1.0, 1.0, (3,)))
+    assert isinstance(box, Box) and box.shape == (3,)
+
+
+def test_space_conversion_recursive():
+    """Dict/Tuple recurse into Multi (parity: gymnasium_wrapper.py:31-136)."""
+    sp = gymnasium.spaces
+    g = sp.Dict(
+        {
+            "pos": sp.Box(-1.0, 1.0, (2,)),
+            "items": sp.Tuple((sp.Discrete(4), sp.MultiBinary(3))),
+        }
+    )
+    native = convert_space(g)
+    assert isinstance(native, Multi)
+    # sorted keys: items, pos
+    assert isinstance(native.spaces[0], Multi)
+    assert isinstance(native.spaces[0].spaces[0], Discrete)
+    assert isinstance(native.spaces[0].spaces[1], ArrayDiscrete)
+    assert isinstance(native.spaces[1], Box)
+
+    conv = make_obs_converter(g, native)
+    val = conv({"pos": np.ones(2, np.float32), "items": (2, np.array([1, 0, 1]))})
+    assert native.check_val(val)
+
+    aconv = make_action_converter(g)
+    back = aconv(val)
+    assert set(back) == {"pos", "items"}
+    assert int(back["items"][0]) == 2
+
+
+class _SlotProbeEnv(gymnasium.Env):
+    """Obs = (unique instance id, own step count): exposes pool aliasing instantly."""
+
+    _counter = [0]
+
+    def __init__(self):
+        self.observation_space = gymnasium.spaces.Box(0, 1e9, (2,), np.float32)
+        self.action_space = gymnasium.spaces.Discrete(2)
+        self.uid = float(self._counter[0])
+        self._counter[0] += 1
+        self.t = 0.0
+
+    def reset(self, seed=None, options=None):
+        self.t = 0.0
+        return np.array([self.uid, self.t], np.float32), {}
+
+    def step(self, action):
+        self.t += 1.0
+        return np.array([self.uid, self.t], np.float32), 1.0, self.t >= 50, False, {}
+
+
+def test_pool_slots_are_distinct_instances():
+    """Round-1 bug: ONE backing env served every vmapped slot (interleaved episodes).
+    Now each slot must be its own instance with its own episode clock."""
+    env = GymnasiumEnv(env_factory=_SlotProbeEnv)
+    B = 8
+    bar = env.make_batched_autoreset(B)
+    key = jax.random.PRNGKey(0)
+    state, ts = bar.reset_batch(jax.random.split(key, B))
+    uids0 = np.asarray(ts.obs)[:, 0]
+    assert len(set(uids0.tolist())) == B, "slots must be distinct instances"
+    for t in range(1, 4):
+        key, k = jax.random.split(key)
+        a = jnp.zeros((B,), jnp.int32)
+        state, ts = bar.step_batch(state, ts, a, jax.random.split(k, B))
+        obs = np.asarray(ts.obs)
+        np.testing.assert_array_equal(obs[:, 0], uids0)  # stable instance per slot
+        np.testing.assert_array_equal(obs[:, 1], np.full(B, float(t)))  # own clocks
+
+
+def test_autoreset_resets_single_slot():
+    env = GymnasiumEnv(env_factory=_SlotProbeEnv)
+    bar = env.make_batched_autoreset(2, max_episode_steps=3)
+    key = jax.random.PRNGKey(1)
+    state, ts = bar.reset_batch(jax.random.split(key, 2))
+    # strictly-greater rule (env_run.py:361): max_episode_steps=3 truncates when
+    # step_num reaches 4, i.e. an episode runs max+1 steps
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, ts = bar.step_batch(state, ts, jnp.zeros((2,), jnp.int32), jax.random.split(k, 2))
+    assert not bool(ts.truncated.any())
+    key, k = jax.random.split(key)
+    state, ts = bar.step_batch(state, ts, jnp.zeros((2,), jnp.int32), jax.random.split(k, 2))
+    assert bool(ts.truncated.all())
+    # the step after a done performs the auto-reset: fresh clocks, no reward
+    key, k = jax.random.split(key)
+    state, ts = bar.step_batch(state, ts, jnp.zeros((2,), jnp.int32), jax.random.split(k, 2))
+    obs = np.asarray(ts.obs)
+    np.testing.assert_array_equal(obs[:, 1], np.zeros(2))
+    np.testing.assert_array_equal(np.asarray(ts.rewards), np.zeros((2, 1)))
+    np.testing.assert_array_equal(np.asarray(state.step_num), np.zeros(2))
+
+
+def test_dqn_smoke_vectorized_cartpole():
+    """DQN learns on gymnasium CartPole at num_envs=64 through the pool bridge
+    (VERDICT round-1 next-step #4 'done' criterion)."""
+    from simple_distributed_rl_tpu.algorithms import DQNConfig
+
+    cfg = DQNConfig(hidden_sizes=(64, 64), batch_size=64, target_model_update_interval=200)
+    cfg.epsilon_scheduler.set_linear(1.0, 0.05, 300)  # lockstep steps (x64 envs)
+    cfg.memory.capacity = 10_000
+    cfg.memory.warmup_size = 500
+    env = GymnasiumEnv("CartPole-v1")
+    r = srl.Runner(env, cfg, num_envs=64, seed=3)
+    stats = r.train(max_steps=30_000, chunk_steps=16, train_steps_per_chunk=128, progress=False)
+    assert stats["env_steps"] >= 30_000
+    # learning signal: greedy eval must clearly beat the random policy (~22 reward)
+    rewards = r.evaluate(32)
+    assert float(rewards[0]) > 60.0, rewards
+
+
+def test_render_passthrough():
+    env = GymnasiumEnv("CartPole-v1")
+    key = jax.random.PRNGKey(0)
+    state, ts = env.reset(key)
+    frame = env.render_rgb(state)
+    if frame is not None:  # headless pygame still renders rgb_array offscreen
+        assert frame.ndim == 3 and frame.shape[-1] == 3
+
+
+def test_registration_fallback_still_works():
+    env = srl.make_env("CartPole-v1")
+    # the id resolves to the NATIVE pure-JAX CartPole if registered, else the bridge
+    assert env.observation_space.shape == (4,)
