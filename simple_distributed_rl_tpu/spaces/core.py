@@ -447,11 +447,16 @@ class ArrayContinuous(Space):
 
             if target & RLBaseTypes.ARRAY_DISCRETE:
                 return Encoder(ArrayDiscrete(self.size, 0, division - 1), _quantize, _dequantize)
+            # route through ArrayDiscrete's DISCRETE encoder: it picks the exact
+            # mixed-radix index when division**size fits, the hashed fallback for
+            # huge joint grids (e.g. images), and rejects hashed ACTION encodes —
+            # a raw flat_index here would silently overflow int32 strides
             ad = ArrayDiscrete(self.size, 0, division - 1)
+            sub = ad.encoder(RLBaseTypes.DISCRETE, **kwargs)
             return Encoder(
-                Discrete(division**self.size),
-                lambda x: ad.flat_index(_quantize(x)),
-                lambda y: _dequantize(ad.from_flat_index(y)),
+                sub.space,
+                lambda x: sub.encode(_quantize(x)),
+                lambda y: _dequantize(sub.decode(y)),
             )
         if target & RLBaseTypes.CONTINUOUS and self.size == 1:
             return Encoder(

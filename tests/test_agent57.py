@@ -16,6 +16,7 @@ def _cfg(**kw):
     return cfg
 
 
+@pytest.mark.slow
 def test_a57l_smoke():
     r = srl.Runner("Grid", _cfg(), num_envs=8, seed=0)
     r.train(max_steps=2000, progress=False)
@@ -23,6 +24,7 @@ def test_a57l_smoke():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_a57l_ucb_arms_rotate():
     r = srl.Runner("Grid", _cfg(), num_envs=8, seed=0)
     r.train(max_steps=5000, progress=False)
@@ -31,6 +33,7 @@ def test_a57l_ucb_arms_rotate():
     assert (counts.sum(0) > 8).all()
 
 
+@pytest.mark.slow
 def test_a57l_intrinsic_rewards_positive():
     r = srl.Runner("Grid", _cfg(), num_envs=8, seed=0)
     r.train(max_steps=1000, progress=False)
@@ -40,6 +43,7 @@ def test_a57l_intrinsic_rewards_positive():
     assert r_int.std() > 0  # and state-dependent
 
 
+@pytest.mark.slow
 def test_a57l_save_load():
     import os
     import tempfile
@@ -64,6 +68,7 @@ def test_a57l_grid_learning():
     assert float(rewards[0]) >= 0.3
 
 
+@pytest.mark.slow
 def test_train_mp_api():
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
@@ -74,6 +79,7 @@ def test_train_mp_api():
     assert float(rewards[0]) > 0.5
 
 
+@pytest.mark.slow
 def test_agent57_full_smoke():
     from simple_distributed_rl_tpu.algorithms import Agent57Config
 
@@ -88,6 +94,7 @@ def test_agent57_full_smoke():
     assert r.algo_state.memory.data.init_int_h.shape[-1] == 16
 
 
+@pytest.mark.slow
 def test_agent57_full_save_load():
     import os
     import tempfile

@@ -39,6 +39,7 @@ def test_ql_save_load_roundtrip():
     r2.train(max_steps=1000, progress=False)
 
 
+@pytest.mark.slow
 def test_dqn_smoke_train():
     cfg = DQNConfig()
     cfg.memory.capacity = 1000
@@ -61,6 +62,7 @@ def test_dqn_per_smoke():
     assert float(r.algo_state.memory.priorities.max()) > 0
 
 
+@pytest.mark.slow
 def test_dqn_dueling_smoke():
     cfg = DQNConfig(dueling=True)
     cfg.memory.capacity = 512
@@ -85,6 +87,7 @@ def test_dqn_save_load():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_ql_on_multiplayer_ox():
     r = srl.Runner("OX", QLConfig(), num_envs=32, seed=0)
     r.train(max_steps=5000, progress=False)
@@ -95,6 +98,7 @@ def test_ql_on_multiplayer_ox():
 # ---------------------------------------------------------------------------
 # learning tier (still fast: vectorized lockstep makes 1M steps take seconds on CPU)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_ql_easygrid_baseline():
     """EasyGrid baseline >= 0.9 @100 episodes (srl/envs/grid.py:44-52)."""
     r = srl.Runner("EasyGrid", QLConfig(), num_envs=128, seed=1)
@@ -102,6 +106,7 @@ def test_ql_easygrid_baseline():
     assert r.evaluate_compare_to_baseline_single_player()
 
 
+@pytest.mark.slow
 def test_ql_grid_baseline():
     """Grid baseline >= 0.65 @100 episodes (srl/envs/grid.py:25-30, optimal ~0.73)."""
     r = srl.Runner("Grid", QLConfig(), num_envs=256, seed=1)

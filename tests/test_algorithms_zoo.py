@@ -26,6 +26,7 @@ def _smoke(env_id, cfg, num_envs=16, steps=3000, **train_kwargs):
     return r
 
 
+@pytest.mark.slow
 def test_c51_smoke():
     cfg = C51Config()
     cfg.memory.capacity = 1000
@@ -33,6 +34,7 @@ def test_c51_smoke():
     _smoke("Grid", cfg)
 
 
+@pytest.mark.slow
 def test_rainbow_smoke():
     cfg = RainbowConfig(multisteps=3)
     cfg.memory.capacity = 1024
@@ -41,6 +43,7 @@ def test_rainbow_smoke():
     assert float(r.algo_state.memory.priorities.max()) > 0  # PER in use
 
 
+@pytest.mark.slow
 def test_rainbow_noisy_smoke():
     cfg = RainbowConfig(enable_noisy_dense=True, multisteps=1)
     cfg.memory.capacity = 512
@@ -48,6 +51,7 @@ def test_rainbow_noisy_smoke():
     _smoke("Grid", cfg, steps=1500)
 
 
+@pytest.mark.slow
 def test_rainbow_actor_ladder():
     cfg = RainbowConfig(num_actors=8, multisteps=1)
     cfg.memory.capacity = 512
@@ -55,14 +59,17 @@ def test_rainbow_actor_ladder():
     _smoke("Grid", cfg, steps=1500)
 
 
+@pytest.mark.slow
 def test_ppo_discrete_smoke():
     _smoke("Grid", PPOConfig(discount=0.9), steps=5000, chunk_steps=32)
 
 
+@pytest.mark.slow
 def test_ppo_continuous_smoke():
     _smoke("Pendulum-v1", PPOConfig(), steps=5000, chunk_steps=32)
 
 
+@pytest.mark.slow
 def test_sac_continuous_smoke():
     cfg = SACConfig()
     cfg.memory.capacity = 2000
@@ -96,6 +103,7 @@ def test_vanilla_policy_grid_baseline():
     assert float(rewards[0]) >= 0.5  # near-optimal is ~0.73
 
 
+@pytest.mark.slow
 def test_rainbow_grid_baseline():
     cfg = RainbowConfig(discount=0.9, multisteps=3)
     cfg.memory.capacity = 20_000

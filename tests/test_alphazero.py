@@ -9,6 +9,7 @@ import simple_distributed_rl_tpu as srl
 from simple_distributed_rl_tpu.algorithms import AlphaZeroConfig
 
 
+@pytest.mark.slow
 def test_az_smoke():
     cfg = AlphaZeroConfig(num_simulations=8, capacity=500, warmup_size=50)
     r = srl.Runner("StoneTaking", cfg, num_envs=8, seed=0, players=[None, "random"])
@@ -18,6 +19,7 @@ def test_az_smoke():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_az_value_targets_in_range():
     cfg = AlphaZeroConfig(num_simulations=8, capacity=2000, warmup_size=50)
     r = srl.Runner("OX", cfg, num_envs=8, seed=0)
@@ -29,6 +31,7 @@ def test_az_value_targets_in_range():
     np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_az_search_prefers_winning_move():
     """Hand-positioned OX board: P1 to move with two in a row — search must find the
     winning cell."""

@@ -17,6 +17,7 @@ def _small(**kw):
     return cfg
 
 
+@pytest.mark.slow
 def test_diamond_smoke():
     r = srl.Runner("Grid-layer", _small(), num_envs=8, seed=1)
     r.train(max_steps=600, train_steps_per_chunk=1, progress=False)
@@ -30,6 +31,7 @@ def test_diamond_rejects_non_image():
         srl.Runner("Grid", _small(), num_envs=4, seed=1)
 
 
+@pytest.mark.slow
 def test_diamond_sampler_and_imagine():
     cfg = _small()
     r = srl.Runner("Grid-layer", cfg, num_envs=4, seed=3)
@@ -48,6 +50,7 @@ def test_diamond_sampler_and_imagine():
     assert img.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_diamond_heun_order2():
     cfg = _small()
     cfg.sampler_cfg.order = 2
@@ -57,6 +60,7 @@ def test_diamond_heun_order2():
     assert int(r.algo_state.train_count) > 0
 
 
+@pytest.mark.slow
 def test_diamond_train_flags():
     cfg = _small(train_diffusion=False, train_actor_critic=False)
     r = srl.Runner("Grid-layer", cfg, num_envs=4, seed=4)
@@ -64,6 +68,7 @@ def test_diamond_train_flags():
     assert int(r.algo_state.train_count) > 0
 
 
+@pytest.mark.slow
 def test_diamond_save_load(tmp_path):
     cfg = _small()
     r = srl.Runner("Grid-layer", cfg, num_envs=4, seed=5)

@@ -148,6 +148,7 @@ def _run_distributed(kv_params, algo, env="Grid", actor_num=1, max_train_count=2
     return runner, reason
 
 
+@pytest.mark.slow
 def test_train_distribution_ql(kv):
     runner, reason = _run_distributed(kv, QLConfig(), max_train_count=500)
     assert "max_train_count" in reason or "timeout" in reason

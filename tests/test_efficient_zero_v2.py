@@ -18,6 +18,7 @@ def _small(**kw):
     return make("EfficientZeroV2", **base)
 
 
+@pytest.mark.slow
 def test_ez2_smoke():
     r = srl.Runner("EasyGrid", _small(), num_envs=8, seed=1)
     r.train(max_steps=1200, train_steps_per_chunk=2, progress=False)
@@ -28,6 +29,7 @@ def test_ez2_smoke():
     assert float(r.algo_state.q_min) < float(r.algo_state.q_max)
 
 
+@pytest.mark.slow
 def test_ez2_no_gumbel_and_full_expansion():
     cfg = _small(enable_gumbel_search=False, num_top_actions=4)
     r = srl.Runner("EasyGrid", cfg, num_envs=8, seed=1)
@@ -36,6 +38,7 @@ def test_ez2_no_gumbel_and_full_expansion():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_ez2_consistency_off():
     cfg = _small(consistency_loss_coeff=0.0)
     r = srl.Runner("EasyGrid", cfg, num_envs=8, seed=2)

@@ -10,6 +10,7 @@ import simple_distributed_rl_tpu as srl
 from simple_distributed_rl_tpu.algorithms import QLConfig
 
 
+@pytest.mark.slow
 def test_sample_env_ql_learns():
     r = srl.Runner("SampleEnv", QLConfig(), num_envs=64, seed=1)
     r.train(max_steps=50_000, progress=False)
@@ -44,6 +45,7 @@ def test_hungry_geese_rollout_invariants():
     assert abs(rw.sum()) < 1e-5 and (np.abs(rw) <= 1.0).all()
 
 
+@pytest.mark.slow
 def test_hungry_geese_greedy_worker():
     e = srl.make_env("hungry_geese")
     k = jr.PRNGKey(1)
@@ -64,6 +66,7 @@ def test_hungry_geese_greedy_worker():
             s, ts = jax.jit(e.step)(s, a, k2)
 
 
+@pytest.mark.slow
 def test_hungry_geese_engine_training():
     r = srl.Runner(
         "hungry_geese", QLConfig(), num_envs=8,
@@ -96,6 +99,7 @@ def test_othello_cpu_beats_random():
     assert wins >= 6, (wins, draws)
 
 
+@pytest.mark.slow
 def test_env_worker_player_spec():
     r = srl.Runner("Othello4x4", QLConfig(), num_envs=16, players=[None, "cpu"], seed=1)
     r.train(max_steps=500, progress=False)

@@ -9,6 +9,7 @@ import simple_distributed_rl_tpu as srl
 from simple_distributed_rl_tpu.algorithms import QLAgent57Config, SNDConfig
 
 
+@pytest.mark.slow
 def test_qla57_smoke():
     r = srl.Runner("Grid", QLAgent57Config(actor_num=4), num_envs=8, seed=0)
     r.train(max_steps=2000, progress=False)
@@ -18,6 +19,7 @@ def test_qla57_smoke():
     assert float(r.algo_state.lifelong.min()) < 1.0
 
 
+@pytest.mark.slow
 def test_qla57_grid_baseline():
     r = srl.Runner("Grid", QLAgent57Config(), num_envs=128, seed=1)
     r.train(max_steps=600_000, progress=False)
@@ -32,6 +34,7 @@ def test_qla57_intrinsic_tables():
     assert float(jnp.abs(r.algo_state.q_int).max()) > 0
 
 
+@pytest.mark.slow
 def test_snd_smoke():
     cfg = SNDConfig()
     cfg.memory.capacity = 1000
@@ -42,6 +45,7 @@ def test_snd_smoke():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_snd_intrinsic_changes_rewards():
     """Replay rewards must differ from raw env rewards when distillation is on."""
     cfg = SNDConfig(int_reward_scale=1.0)

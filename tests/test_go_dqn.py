@@ -7,6 +7,7 @@ import simple_distributed_rl_tpu as srl
 from simple_distributed_rl_tpu.algorithms import GoDQNConfig, make
 
 
+@pytest.mark.slow
 def test_go_dqn_smoke_and_archive():
     cfg = make("GoDQN", discount=0.9, memory_warmup_size=100)
     r = srl.Runner("Grid", cfg, num_envs=16, seed=1)
@@ -22,6 +23,7 @@ def test_go_dqn_smoke_and_archive():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_go_dqn_restore_teleports():
     cfg = make("GoDQN", discount=0.9, memory_warmup_size=100)
     r = srl.Runner("Grid", cfg, num_envs=16, seed=1)

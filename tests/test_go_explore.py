@@ -9,6 +9,7 @@ import simple_distributed_rl_tpu as srl
 from simple_distributed_rl_tpu.algorithms import GoExploreConfig, SearchDynaQConfig, make
 
 
+@pytest.mark.slow
 def test_search_dynaq_smoke():
     r = srl.Runner("Grid", SearchDynaQConfig(), num_envs=8, seed=0)
     r.train(max_steps=2000, train_steps_per_chunk=1, progress=False)
@@ -32,6 +33,7 @@ def test_search_dynaq_oneroad():
     assert float(rewards[0]) >= 0.9
 
 
+@pytest.mark.slow
 def test_go_explore_smoke_and_archive():
     cfg = make("Go-Explore", discount=0.9, memory_warmup_size=100)
     r = srl.Runner("Grid", cfg, num_envs=16, seed=1)

@@ -20,6 +20,7 @@ def _small(**kw):
     return make("GoDQ_v1", **base)
 
 
+@pytest.mark.slow
 def test_godq_v1_smoke_byol():
     r = srl.Runner("Grid", _small(), num_envs=8, seed=1)
     r.train(max_steps=2000, train_steps_per_chunk=4, progress=False)
@@ -28,6 +29,7 @@ def test_godq_v1_smoke_byol():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_godq_v1_rnd_and_episodic():
     cfg = _small(feat_type="", enable_int_episodic=True, episodic_memory_capacity=64)
     r = srl.Runner("Grid", cfg, num_envs=8, seed=1)
@@ -37,6 +39,7 @@ def test_godq_v1_rnd_and_episodic():
     assert bool(r.algo_state.norm_init)
 
 
+@pytest.mark.slow
 def test_godq_v1_q_only():
     cfg = _small(enable_int_q=False, feat_type="", enable_q_distribution=False,
                  enable_q_rescale=False)
@@ -46,6 +49,7 @@ def test_godq_v1_q_only():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_godq_v1_archive_restores():
     cfg = _small(enable_archive=True, archive_steps=5, archive_rate=0.8,
                  archive_max_buckets=8)
@@ -55,6 +59,7 @@ def test_godq_v1_archive_restores():
     assert int(r.algo_state.occupied.sum()) >= 1
 
 
+@pytest.mark.slow
 def test_godq_v1_shrink_perturb_reset():
     cfg = _small(reset_net_interval=20)
     r = srl.Runner("Grid", cfg, num_envs=8, seed=1)
@@ -86,6 +91,7 @@ def _small_lstm(**kw):
     return make("GoDQ_v1_LSTM", **base)
 
 
+@pytest.mark.slow
 def test_godq_v1_lstm_smoke():
     cfg = _small_lstm()
     r = srl.Runner("Grid", cfg, num_envs=8, seed=1)
@@ -95,6 +101,7 @@ def test_godq_v1_lstm_smoke():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_godq_v1_lstm_rnd():
     cfg = _small_lstm(feat_type="", enable_q_distribution=False)
     r = srl.Runner("Grid", cfg, num_envs=8, seed=1)
@@ -103,6 +110,7 @@ def test_godq_v1_lstm_rnd():
     assert bool(r.algo_state.norm_init)
 
 
+@pytest.mark.slow
 def test_godq_v1_lstm_pomdp_learns_signal():
     # Tiger needs memory; just verify the recurrent pipeline runs on a POMDP
     cfg = _small_lstm(enable_int_q=False, feat_type="")

@@ -17,6 +17,7 @@ def test_mcts_smoke_and_stats_persist():
     assert float(r.algo_state.N.sum()) > 0  # search statistics accumulated
 
 
+@pytest.mark.slow
 def test_mcts_stone_taking_beats_random():
     """Reference baseline: P1 >= 0.9 vs random @200 ep (srl/envs/stone_taking.py:44-48)."""
     cfg = MCTSConfig(num_simulations=10, expansion_threshold=5)
@@ -26,6 +27,7 @@ def test_mcts_stone_taking_beats_random():
     assert float(rewards[0]) >= 0.9
 
 
+@pytest.mark.slow
 def test_dynaq_grid_baseline():
     r = srl.Runner("Grid", DynaQConfig(), num_envs=64, seed=1)
     r.train(max_steps=200_000, progress=False)
@@ -86,6 +88,7 @@ def test_algo_processors_pipeline():
     assert float(cfg2.obs_space.high) == 1.0
 
 
+@pytest.mark.slow
 def test_public_check_env_catches_good_envs():
     testing.check_env(srl.make_env("Grid"), steps=50)
     testing.check_env(srl.make_env("OX"), steps=50)

@@ -9,6 +9,7 @@ import simple_distributed_rl_tpu as srl
 from simple_distributed_rl_tpu.algorithms import MuZeroConfig
 
 
+@pytest.mark.slow
 def test_mz_smoke():
     cfg = MuZeroConfig(num_simulations=6, capacity=500, warmup_size=50, unroll_steps=2)
     r = srl.Runner("EasyGrid", cfg, num_envs=8, seed=0)
@@ -18,6 +19,7 @@ def test_mz_smoke():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_mz_window_targets():
     cfg = MuZeroConfig(num_simulations=6, capacity=2000, warmup_size=50, unroll_steps=3,
                        discount=0.9)
@@ -33,6 +35,7 @@ def test_mz_window_targets():
     assert np.abs(z).max() <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_mz_learned_model_consistency():
     """After training, the dynamics reward head should predict ~0 rewards for
     mid-grid moves on EasyGrid (all move rewards are 0)."""
@@ -58,6 +61,7 @@ def test_mz_easygrid_learning():
     assert float(rewards[0]) >= 0.4
 
 
+@pytest.mark.slow
 def test_stochastic_muzero_smoke():
     from simple_distributed_rl_tpu.algorithms import StochasticMuZeroConfig
 

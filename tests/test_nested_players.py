@@ -27,6 +27,7 @@ def test_resolve_players_algo_config_specs():
         resolve_players([None, 123], 2)
 
 
+@pytest.mark.slow
 def test_train_and_eval_vs_algo_opponent():
     r = srl.Runner("OX", QLConfig(), num_envs=16, seed=2, players=[None, QLConfig()])
     r.train(max_steps=2_000, progress=False)
@@ -35,6 +36,7 @@ def test_train_and_eval_vs_algo_opponent():
     assert np.isfinite(rw).all()
 
 
+@pytest.mark.slow
 def test_eval_vs_trained_params_opponent():
     r1 = srl.Runner("OX", QLConfig(), num_envs=32, seed=1)
     r1.train(max_steps=5_000, progress=False)

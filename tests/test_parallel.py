@@ -18,6 +18,7 @@ def mesh8():
     return make_mesh(8)
 
 
+@pytest.mark.slow
 def test_dp_dqn_replicas_stay_identical(mesh8):
     env = srl.make_env("Grid")
     cfg = DQNConfig(discount=0.9)

@@ -16,6 +16,7 @@ from simple_distributed_rl_tpu.algorithms import (
 )
 
 
+@pytest.mark.slow
 def test_godynaq_grid_baseline():
     r = srl.Runner("Grid", GoDynaQConfig(), num_envs=64, seed=1)
     r.train(max_steps=100_000, train_steps_per_chunk=1, progress=False)
@@ -32,6 +33,7 @@ def test_godynaq_oneroad_default_hypers():
     assert float(rewards[0]) >= 0.9
 
 
+@pytest.mark.slow
 def test_world_models_smoke():
     cfg = WorldModelsConfig(batch_length=8, capacity=100, warmup_size=5)
     r = srl.Runner("Grid", cfg, num_envs=16, seed=0)

@@ -12,6 +12,7 @@ import simple_distributed_rl_tpu as srl
 from simple_distributed_rl_tpu.algorithms import DQNConfig, QLConfig, R2D2Config
 
 
+@pytest.mark.slow
 def test_r2d2_smoke():
     cfg = R2D2Config(burnin=2, sequence_length=6, lstm_units=16, capacity=500, warmup_size=20)
     r = srl.Runner("Grid", cfg, num_envs=8, seed=0)
@@ -22,6 +23,7 @@ def test_r2d2_smoke():
     assert int(r.algo_state.memory.size) > 0
 
 
+@pytest.mark.slow
 def test_r2d2_save_load():
     cfg = R2D2Config(burnin=2, sequence_length=6, lstm_units=16, capacity=200, warmup_size=20)
     r = srl.Runner("Grid", cfg, num_envs=8, seed=0)
@@ -51,6 +53,7 @@ def test_r2d2_tiger_pomdp():
     assert float(rewards[0]) >= 0.0
 
 
+@pytest.mark.slow
 def test_ql_window_length_tiger():
     """window_length frame stacking solves Tiger with tabular QL (parity: the
     reference's Tiger + window_length test)."""
@@ -71,6 +74,7 @@ def test_dqn_window_smoke():
     assert cfg.obs_space.shape == (4, 2)
 
 
+@pytest.mark.slow
 def test_animation_gif():
     r = srl.Runner("Grid", QLConfig(), num_envs=16, seed=0)
     r.train(max_steps=2000, progress=False)
@@ -80,6 +84,7 @@ def test_animation_gif():
         assert os.path.getsize(p) > 100
 
 
+@pytest.mark.slow
 def test_history_file_and_viewer():
     from simple_distributed_rl_tpu.runner import HistoryOnFile
     from simple_distributed_rl_tpu.runner.history_viewer import HistoryViewer

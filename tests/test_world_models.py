@@ -21,6 +21,7 @@ def _small_dreamer(**kw):
     )
 
 
+@pytest.mark.slow
 def test_dreamer_smoke():
     r = srl.Runner("EasyGrid", _small_dreamer(), num_envs=8, seed=0)
     r.train(max_steps=500, train_steps_per_chunk=2, progress=False)
@@ -29,6 +30,7 @@ def test_dreamer_smoke():
     assert int(r.algo_state.train_count) > 0
 
 
+@pytest.mark.slow
 def test_dreamer_sequences_stored():
     r = srl.Runner("EasyGrid", _small_dreamer(), num_envs=8, seed=0)
     r.train(max_steps=400, train_steps_per_chunk=1, progress=False)
@@ -39,6 +41,7 @@ def test_dreamer_sequences_stored():
     assert set(np.unique(seq.cont)) <= {0.0, 1.0}
 
 
+@pytest.mark.slow
 def test_dreamer_save_load():
     import os
     import tempfile
@@ -52,6 +55,7 @@ def test_dreamer_save_load():
         r2.load_parameter(p)
 
 
+@pytest.mark.slow
 def test_planet_smoke():
     cfg = PlaNetConfig(
         batch_size=4, batch_length=8, plan_horizon=4, num_candidates=16,
@@ -63,6 +67,7 @@ def test_planet_smoke():
     assert np.isfinite(rewards).all()
 
 
+@pytest.mark.slow
 def test_no_target_dqn_smoke():
     cfg = NoTargetDQNConfig()
     cfg.memory.capacity = 1000
@@ -77,6 +82,7 @@ def test_no_target_dqn_smoke():
     assert n > 0 and np.abs(tr).max() <= 3.0
 
 
+@pytest.mark.slow
 def test_no_target_sac_smoke():
     cfg = NoTargetSACConfig()
     cfg.memory.capacity = 1000
