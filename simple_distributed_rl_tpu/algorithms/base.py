@@ -258,6 +258,33 @@ class AlgoConfig:
         replay algorithms call ``flatten_transitions`` first."""
         return state
 
+    # --- render diagnostics -------------------------------------------------
+    def action_values(self, state: Any, obs: Any) -> Optional[Array]:
+        """[B, A] per-action diagnostic values (Q-values, visit counts, policy
+        probabilities — whatever drives this algorithm's greedy choice) for the
+        RL-side render overlay (parity: RLWorker.render_terminal /
+        create_render_image, srl/base/rl/worker_run.py:413-543). None if the
+        algorithm has no per-action view (continuous control)."""
+        return None
+
+    def render_info(self, state: Any, obs: Any, invalid_mask: Array, action_to_str=str) -> str:
+        """Host-side textual policy view at one (unbatched) encoded obs."""
+        import numpy as np
+
+        batched = jax.tree.map(lambda x: jnp.asarray(x)[None], obs)
+        vals = self.action_values(state, batched)
+        if vals is None:
+            return ""
+        vals = np.asarray(vals)[0]
+        mask = np.asarray(invalid_mask)
+        best = int(np.argmax(np.where(mask, -np.inf, vals)))
+        lines = []
+        for a in range(len(vals)):
+            mark = "*" if a == best else " "
+            inv = " (invalid)" if bool(mask[a]) else ""
+            lines.append(f"{mark}{action_to_str(a)}: {vals[a]:8.5f}{inv}")
+        return "\n".join(lines)
+
     # --- data-parallel sync helpers ----------------------------------------
     def dp_psum(self, x):
         """Sum ``x`` (array or pytree) across data-parallel replicas. Identity when

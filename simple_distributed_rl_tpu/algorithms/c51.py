@@ -122,6 +122,10 @@ class C51Config(AlgoConfig):
         q = self._q_values(state.params, obs)
         return funcs.epsilon_greedy(q, invalid_mask, eps, key)
 
+    def action_values(self, state: C51State, obs):
+        """Expected values of the return distributions (render overlay)."""
+        return self._q_values(state.params, obs)
+
     def observe(self, state: C51State, t: Transition, mask) -> C51State:
         t, mask = self.flatten_transitions(t, mask)
         return state.replace(memory=self._replay.add_masked(state.memory, t, mask))

@@ -172,6 +172,10 @@ class DQNConfig(AlgoConfig):
         q = self.model.apply(state.params, jnp.asarray(obs, jnp.float32))
         return funcs.epsilon_greedy(q, invalid_mask, eps, key)
 
+    def action_values(self, state: DQNState, obs):
+        """Q-values for the render overlay (parity: dqn worker render_terminal)."""
+        return self.model.apply(state.params, jnp.asarray(obs, jnp.float32))
+
     def observe(self, state: DQNState, t: Transition, mask) -> DQNState:
         t, mask = self.flatten_transitions(t, mask)
         if self.enable_reward_clip:

@@ -203,6 +203,11 @@ class MCTSConfig(AlgoConfig):
         action = funcs.random_max_index(counts, jnp.zeros_like(invalid_mask), k_tie)
         return action, state.replace(N=N, W=W)
 
+    def action_values(self, state: MCTSState, obs):
+        """Mean action values W/N for the render overlay (parity: mcts worker
+        render printing N and W/N per action)."""
+        return state.W[obs] / jnp.maximum(state.N[obs], 1.0)
+
     def observe(self, state: MCTSState, t: Transition, mask) -> MCTSState:
         return state.replace(train_count=state.train_count + mask.sum().astype(jnp.int32))
 

@@ -135,6 +135,14 @@ class PPOConfig(AlgoConfig):
         # model acts in tanh-space [-1, 1]; env actions live in [low, high]
         return self._a_low + (jnp.tanh(a) + 1.0) * 0.5 * (self._a_high - self._a_low)
 
+    def action_values(self, state: "PPOState", obs):
+        """Discrete policy probabilities for the render overlay (parity: PPO worker
+        render printing pi/V, srl/algorithms/ppo/ppo.py render_terminal)."""
+        if not self.is_discrete:
+            return None
+        out, _ = self.model.apply(state.params, jnp.asarray(obs, jnp.float32))
+        return jax.nn.softmax(out, axis=-1)
+
     def policy(self, state: PPOState, obs, invalid_mask, ctx: PolicyContext, key) -> Array:
         out, _ = self.model.apply(state.params, jnp.asarray(obs, jnp.float32))
         if self.is_discrete:

@@ -73,6 +73,10 @@ class QLConfig(AlgoConfig):
         q = state.q_table[obs]  # [B, A]
         return funcs.epsilon_greedy(q, invalid_mask, eps, key, tie_break=True)
 
+    def action_values(self, state: QLState, obs):
+        """Q row for the render overlay (parity: ql worker render, ql.py:190-198)."""
+        return state.q_table[obs]
+
     def observe(self, state: QLState, t: Transition, mask) -> QLState:
         """Batched TD(0) update with invalid-action masking on the next state
         (parity: ql trainer, srl/algorithms/ql.py:106-132)."""

@@ -156,6 +156,10 @@ class RainbowConfig(AlgoConfig):
             return self.model.apply(params, obs, rngs={"noise": key})
         return self.model.apply(params, obs)
 
+    def action_values(self, state: "RainbowState", obs):
+        """Q-values (noise off) for the render overlay."""
+        return self._apply(state.params, obs, None)
+
     def policy(self, state: RainbowState, obs, invalid_mask, ctx: PolicyContext, key) -> Array:
         k_noise, k_eps = jax.random.split(key)
         q = self._apply(state.params, obs, k_noise if self.enable_noisy_dense else None)

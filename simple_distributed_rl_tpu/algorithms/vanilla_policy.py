@@ -65,6 +65,11 @@ class VanillaPolicyConfig(AlgoConfig):
             }
         return VPState(table=table, train_count=jnp.asarray(0, jnp.int32))
 
+    def action_values(self, state: VPState, obs):
+        if not self.is_discrete:
+            return None
+        return jax.nn.softmax(state.table[obs], axis=-1)
+
     def policy(self, state: VPState, obs, invalid_mask, ctx: PolicyContext, key) -> Array:
         if self.is_discrete:
             logits = state.table[obs]

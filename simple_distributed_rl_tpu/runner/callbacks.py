@@ -30,13 +30,42 @@ class RunCallback:
         pass
 
 
+def system_stats() -> Dict[str, float]:
+    """Host + device utilization snapshot (parity: the psutil/pynvml sampling in
+    srl/base/system/psutil_.py:17-25 + pynvml_.py:13-42; the TPU equivalent of the
+    GPU counters is per-device HBM usage from jax memory_stats)."""
+    out: Dict[str, float] = {}
+    try:
+        import psutil
+
+        out["cpu_pct"] = float(psutil.cpu_percent(interval=None))
+        out["mem_pct"] = float(psutil.virtual_memory().percent)
+    except Exception:
+        pass
+    try:
+        import jax
+
+        ms = jax.local_devices()[0].memory_stats()
+        if ms:
+            used = float(ms.get("bytes_in_use", 0.0))
+            limit = float(ms.get("bytes_limit", 0.0) or 0.0)
+            out["dev_mem_gb"] = used / 2**30
+            if limit > 0:
+                out["dev_mem_pct"] = 100.0 * used / limit
+    except Exception:
+        pass
+    return out
+
+
 class PrintProgress(RunCallback):
     """Adaptive-interval progress lines: env-steps/s, episodes, mean reward, train
-    count, loss (parity: print_progress.py:135-500)."""
+    count, loss, CPU/host-memory and device-HBM utilization (parity:
+    print_progress.py:135-500 incl. its enable_stats system columns)."""
 
-    def __init__(self, interval: float = 5.0, max_interval: float = 60.0):
+    def __init__(self, interval: float = 5.0, max_interval: float = 60.0, enable_stats: bool = True):
         self.interval = interval
         self.max_interval = max_interval
+        self.enable_stats = enable_stats
         self._t_last = 0.0
         self._steps_last = 0
 
@@ -67,6 +96,16 @@ class PrintProgress(RunCallback):
             msg += f" train {int(stats['train_count']):>9,}"
         if "loss" in stats:
             msg += f" loss {stats['loss']:.4f}"
+        if self.enable_stats:
+            sysst = system_stats()
+            if "cpu_pct" in sysst:
+                msg += f" [CPU {sysst['cpu_pct']:3.0f}% MEM {sysst['mem_pct']:3.0f}%"
+                if "dev_mem_gb" in sysst:
+                    msg += f" HBM {sysst['dev_mem_gb']:.2f}GB"
+                    if "dev_mem_pct" in sysst:
+                        msg += f"({sysst['dev_mem_pct']:.0f}%)"
+                msg += "]"
+            stats.update(sysst)
         print(msg)
 
 

@@ -57,6 +57,19 @@ def env_frame(env, state) -> np.ndarray:
     return text_to_rgb(capture_terminal_render(env, state) or "(no render)")
 
 
+def composite_frame(env_img: np.ndarray, text: str) -> np.ndarray:
+    """Stack an env frame above a rendered text panel — the reference's composite of
+    env image + RL worker view (srl/base/rl/worker_run.py create_render_image,
+    :413-543)."""
+    panel = text_to_rgb(text)
+    w = max(env_img.shape[1], panel.shape[1])
+    h = env_img.shape[0] + panel.shape[0]
+    canvas = np.zeros((h, w, 3), np.uint8)
+    canvas[: env_img.shape[0], : env_img.shape[1]] = env_img[..., :3]
+    canvas[env_img.shape[0] :, : panel.shape[1]] = panel
+    return canvas
+
+
 def save_gif(frames: List[np.ndarray], path: str, fps: float = 2.0) -> None:
     from PIL import Image
 

@@ -384,7 +384,10 @@ class Runner:
     # --- render -----------------------------------------------------------
     def _play_episode_host(self, max_steps: int, on_frame=None) -> float:
         """Host-driven single episode with the trained policy (greedy); calls
-        ``on_frame(env, state, info_line)`` after reset and each step."""
+        ``on_frame(env, state, info_line, rl_text)`` after reset and each step.
+        ``rl_text`` is the algorithm's per-action diagnostic view of the state the
+        upcoming action is chosen from (parity: the reference's composite of env
+        render + worker render, srl/base/rl/worker_run.py:413-543)."""
         from ..algorithms.base import PolicyContext
 
         key = jax.random.PRNGKey(self.seed + 2)
@@ -393,11 +396,12 @@ class Runner:
         win = None
         W = getattr(self.algo, "window_length", 1)
         total = 0.0
-        if on_frame:
-            on_frame(self.env, state, "")
         actor = None
         if self.algo.has_actor_state:
             actor = self.algo.init_actor_state(key, 1)
+        prev_enc = None
+        if on_frame:
+            on_frame(self.env, state, "", "")
         for step_i in range(max_steps):
             key, k_pol, k_step = jax.random.split(key, 3)
             enc = self.algo.obs_encoder.encode(ts.obs)
@@ -408,6 +412,7 @@ class Runner:
                     )
                 win = jax.tree.map(lambda w, s: jnp.roll(w, -1, 0).at[-1].set(s), win, enc)
                 enc = self.algo.stack_to_obs(win)
+            prev_enc = enc
             batched = jax.tree.map(lambda x: x[None], enc)
             ctx = PolicyContext(
                 step=jnp.asarray(0),
@@ -434,6 +439,14 @@ class Runner:
                     self.algo_state, batched, ts.invalid_mask[None], ctx, k_pol
                 )
             a_env = self.algo.action_encoder.decode(jax.tree.map(lambda x: x[0], a_rl))
+            rl_text = ""
+            if on_frame:
+                try:
+                    rl_text = self.algo.render_info(
+                        self.algo_state, prev_enc, ts.invalid_mask, self.env.action_to_str
+                    )
+                except Exception:
+                    pass
             state, ts = self.env.step(state, a_env, k_step)
             total += float(ts.rewards[0])
             info = (
@@ -441,31 +454,40 @@ class Runner:
                 f" reward: {float(ts.rewards[0]):.3f}"
             )
             if on_frame:
-                on_frame(self.env, state, info)
+                on_frame(self.env, state, info, rl_text)
             if bool(ts.terminated) or bool(ts.truncated):
                 break
         return total
 
-    def render_terminal(self, max_steps: int = 100) -> float:
-        """Play one host-driven episode, printing env frames (parity:
-        Runner.render_terminal via the render cache, runner/runner.py:801)."""
+    def render_terminal(self, max_steps: int = 100, render_rl: bool = True) -> float:
+        """Play one host-driven episode, printing env frames and the algorithm's
+        per-action view (parity: Runner.render_terminal + RL-side worker render,
+        runner/runner.py:801 / worker_run.py:413-543)."""
 
-        def on_frame(env, state, info):
+        def on_frame(env, state, info, rl_text):
+            if rl_text and render_rl:
+                print(rl_text)
             if info:
                 print(info)
             env.render_terminal(state)
 
         return self._play_episode_host(max_steps, on_frame)
 
-    def animation_save_gif(self, path: str, max_steps: int = 100, fps: float = 2.0) -> float:
-        """Replay one greedy episode and save it as a gif (parity:
-        Runner.animation_save_gif, runner/runner.py:1019)."""
-        from .render import env_frame, save_gif
+    def animation_save_gif(
+        self, path: str, max_steps: int = 100, fps: float = 2.0, render_rl: bool = True
+    ) -> float:
+        """Replay one greedy episode and save it as a gif, compositing the env frame
+        with the RL-side per-action view (parity: Runner.animation_save_gif +
+        create_render_image, runner/runner.py:1019 / worker_run.py:413-543)."""
+        from .render import composite_frame, env_frame, save_gif
 
         frames = []
 
-        def on_frame(env, state, info):
-            frames.append(env_frame(env, state))
+        def on_frame(env, state, info, rl_text):
+            f = env_frame(env, state)
+            if render_rl and (rl_text or info):
+                f = composite_frame(f, (info + "\n" + rl_text).strip())
+            frames.append(f)
 
         total = self._play_episode_host(max_steps, on_frame)
         save_gif(frames, path, fps)
@@ -550,7 +572,7 @@ class Runner:
 
         frames = []
 
-        def on_frame(env, state, info):
+        def on_frame(env, state, info, rl_text):
             frames.append(env_frame(env, state))
 
         self._play_episode_host(max_steps, on_frame)

