@@ -14,6 +14,10 @@ from .define import DoneTypes, PlayerType, RLBaseTypes, SpaceTypes
 from .envs import EnvConfig, EnvCore, make as make_env, register as register_env
 from .runner import Runner
 
+#: Rebuild a Runner from a full-run yaml (env:/rl:/context: document) — parity:
+#: srl.load (srl/__init__.py:6-8 / base/context.py:211-251)
+load = Runner.load
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -23,6 +27,7 @@ __all__ = [
     "RLBaseTypes",
     "Runner",
     "SpaceTypes",
+    "load",
     "algorithms",
     "envs",
     "EnvConfig",

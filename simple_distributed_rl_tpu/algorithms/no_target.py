@@ -53,6 +53,12 @@ class NoTDQNState:
     params: Any
     opt_state: Any
     memory: Any
+    # per-env episode tracking buffer (the TPU form of the reference worker's
+    # add_tracking deque, dqn_not/worker.py:27-49): transitions wait here until
+    # their episode ends (or the window fills), when the discounted return-to-go
+    # is computed and the whole window flushes into replay
+    trk: Transition  # [B, K, ...]
+    trk_len: Array  # [B] int32
     train_count: Array
 
 
@@ -68,6 +74,9 @@ class NoTargetDQNConfig(AlgoConfig):
     epsilon: float = 0.1
     epsilon_scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     discount: float = 0.995
+    #: cap on the tracked return-to-go window (parity: dqn_not/config.py
+    #: max_discount_steps=500); also capped to the env's max episode length
+    max_discount_steps: int = 500
     align_loss_coeff: float = 0.1
     batch_size: int = 32
     memory: MemoryConfig = dataclasses.field(default_factory=MemoryConfig)
@@ -104,10 +113,19 @@ class NoTargetDQNConfig(AlgoConfig):
 
     def init(self, key: Array) -> NoTDQNState:
         params = self.model.init(key, self.obs_space.zero()[None])
+        B = int(getattr(self, "num_envs_hint", 1))
+        K = min(self.max_discount_steps, int(self.env.max_episode_steps) + 1)
+        self._K = K
+        example = self._example_item().t
+        trk = jax.tree.map(
+            lambda x: jnp.zeros((B, K) + jnp.shape(x), jnp.asarray(x).dtype), example
+        )
         return NoTDQNState(
             params=params,
             opt_state=self._tx.init(params),
             memory=self._replay.init(self._example_item()),
+            trk=trk,
+            trk_len=jnp.zeros((B,), jnp.int32),
             train_count=jnp.asarray(0, jnp.int32),
         )
 
@@ -117,39 +135,69 @@ class NoTargetDQNConfig(AlgoConfig):
         return funcs.epsilon_greedy(q, invalid_mask, eps, key)
 
     def observe(self, state: NoTDQNState, t: Transition, mask) -> NoTDQNState:
+        """Track transitions per env until episode end (or the window cap), then
+        compute discounted return-to-go for the WHOLE episode and flush it into
+        replay — episodes spanning chunk boundaries are handled by the carried
+        tracker (parity: worker.add_tracking + the flush-on-done loop,
+        dqn_not/worker.py:27-49; round-1 dropped episodes that crossed chunks)."""
         num_envs = mask.shape[1] // (1 + self.env.player_num)
         seq, valid, is_final = to_env_sequences(t, mask, num_envs)
         B, L = valid.shape
+        K = self._K
+        idxB = jnp.arange(B)
 
-        # discounted return-to-go over the chronological sequence; only entries whose
-        # episode finishes inside the chunk get a defined value
-        chain = seq.undone * (1.0 - is_final.astype(jnp.float32))
+        def step_fn(carry, xs):
+            trk, trk_len, mem = carry
+            item, v, fin = xs  # Transition [B,...], [B] bool, [B] bool
 
-        def back(carry, x):
-            r, u, v = x
-            ret = jnp.where(v, r + self.discount * u * carry, carry)
-            return ret, ret
+            # push at trk_len (valid rows only)
+            pos = jnp.clip(trk_len, 0, K - 1)
 
-        _, rets = jax.lax.scan(
-            back,
-            jnp.zeros((B,)),
-            (seq.reward.T[::-1], chain.T[::-1], valid.T[::-1]),
+            def put(buf, val):
+                cur = buf[idxB, pos]
+                m = v.reshape((B,) + (1,) * (val.ndim - 1))
+                return buf.at[idxB, pos].set(jnp.where(m, val, cur))
+
+            trk = jax.tree.map(put, trk, item)
+            trk_len = trk_len + v.astype(jnp.int32)
+
+            # flush on episode end or full window (max_discount_steps cap)
+            flush = jnp.logical_or(fin & v, trk_len >= K)
+            # discounted return-to-go over the window: linear recurrence
+            # ret_j = r_j + gamma * ret_{j+1} within the tracked episode, solved by
+            # an associative scan (exact, O(log K) depth)
+            in_win = jnp.arange(K)[None, :] < trk_len[:, None]  # [B, K]
+            r = jnp.where(in_win, trk.reward, 0.0)
+            d = jnp.where(in_win, self.discount, 0.0)
+
+            def comb(a, b):
+                # affine-map composition f(x)=r+d*x: b AFTER a (b covers the
+                # later reversed indices = earlier timesteps)
+                return b[0] + b[1] * a[0], b[1] * a[1]
+
+            rets, _ = jax.lax.associative_scan(
+                comb, (r[:, ::-1], d[:, ::-1]), axis=1
+            )
+            rets = rets[:, ::-1]  # [B, K] return-to-go from each position
+
+            flush_rows = flush[:, None] & in_win  # [B, K]
+            flat_item = jax.tree.map(
+                lambda x: x.reshape((B * K,) + x.shape[2:]),
+                NoTItem(t=trk, total_reward=rets),
+            )
+            mem = self._replay.add_masked(mem, flat_item, flush_rows.reshape(-1))
+            trk_len = jnp.where(flush, 0, trk_len)
+            return (trk, trk_len, mem), None
+
+        xs = (
+            jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), seq),  # [L, B, ...]
+            valid.T,
+            is_final.T,
         )
-        total_reward = rets[::-1].T  # [B, L]
-
-        def fwd(carry, f):
-            done_seen = jnp.logical_or(carry, f)
-            return done_seen, done_seen
-
-        _, completed = jax.lax.scan(
-            fwd, jnp.zeros((B,), bool), is_final.T[::-1]
+        (trk, trk_len, memory), _ = jax.lax.scan(
+            step_fn, (state.trk, state.trk_len, state.memory), xs
         )
-        completed = completed[::-1].T
-
-        item = NoTItem(t=seq, total_reward=total_reward)
-        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), item)
-        m = (valid & completed).reshape(-1)
-        return state.replace(memory=self._replay.add_masked(state.memory, flat, m))
+        return state.replace(trk=trk, trk_len=trk_len, memory=memory)
 
     def train(self, state: NoTDQNState, key: Array, num_steps: int) -> Tuple[NoTDQNState, Dict[str, Array]]:
         def one_update(st: NoTDQNState, k):

@@ -216,6 +216,9 @@ class PlayEngine:
         else:
             window = None
             enc_obs = self._v_step_obs_enc(ts.obs)
+        # algorithms with per-env carried structures (e.g. NoTarget_DQN's episode
+        # tracking buffer) size them from this hint
+        self.algo.num_envs_hint = self.num_envs
         algo_state = self.algo.init(k_algo)
 
         B, P = self.num_envs, self.P

