@@ -333,13 +333,48 @@ class RedisParameters:
 # ---------------------------------------------------------------------------
 class _QueueOverlayConnector(IConnector):
     """Wrap a base KV connector, replacing ONLY the experience queue with an
-    external message-queue transport."""
+    external message-queue transport. KV verbs are delegated EXPLICITLY —
+    ``__getattr__`` would never fire for methods IConnector defines (they exist and
+    raise), a round-2 bug caught by the protocol mocks."""
 
     def __init__(self, base: IConnector):
         self._base = base
 
-    def __getattr__(self, name):
-        return getattr(self._base, name)
+    def get(self, key):
+        return self._base.get(key)
+
+    def set(self, key, value):
+        self._base.set(key, value)
+
+    def setnx(self, key, value):
+        return self._base.setnx(key, value)
+
+    def delete(self, key):
+        self._base.delete(key)
+
+    def keys(self, prefix=""):
+        return self._base.keys(prefix)
+
+    def incr(self, key, by=1):
+        return self._base.incr(key, by)
+
+    def flushall(self):
+        self._base.flushall()
+
+    def ping(self):
+        return self._base.ping()
+
+    def rpush(self, key, value):
+        self._base.rpush(key, value)
+
+    def lpop(self, key):
+        return self._base.lpop(key)
+
+    def llen(self, key):
+        return self._base.llen(key)
+
+    def close(self):
+        self._base.close()
 
     # subclasses override memory_add/memory_recv/memory_size
 
@@ -422,6 +457,11 @@ class MQTTParameters:
 
             def memory_size(self):
                 return len(self._q)
+
+            def memory_purge(self):
+                # MQTT has no broker-side purge; the queue IS the local
+                # subscription buffer
+                self._q.clear()
 
         return MQTTConnector()
 

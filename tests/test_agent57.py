@@ -69,6 +69,23 @@ def test_a57l_grid_learning():
 
 
 @pytest.mark.slow
+def test_a57l_pendulum_baseline():
+    """Reference recipe + bar (base_agent57_light.py test_Pendulum: lr 1e-3,
+    target sync 100, 2 actors; Pendulum baseline -500,
+    gymnasium_wrapper.py:327-329). Measured -180 @400k."""
+    from simple_distributed_rl_tpu.algorithms import Agent57LightConfig
+
+    cfg = Agent57LightConfig(
+        actor_num=2, target_model_update_interval=100, lr_ext=1e-3, lr_int=1e-3
+    )
+    cfg.memory.capacity = 50_000
+    cfg.memory.warmup_size = 1000
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=64, seed=1)
+    r.train(max_steps=400_000, train_steps_per_chunk=64, progress=False)
+    assert float(r.evaluate(32)[0]) >= -500.0
+
+
+@pytest.mark.slow
 def test_train_mp_api():
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")

@@ -142,13 +142,16 @@ def test_ppo_cartpole_learning():
 
 @pytest.mark.slow
 def test_sac_pendulum_learning():
-    cfg = SACConfig()
-    cfg.memory.capacity = 50_000
+    """Reference bar: Pendulum >= -500 @eval (gymnasium_wrapper.py:327-329), with
+    the reference recipe (base_sac.py test_Pendulum: lr 3e-3, batch 32).
+    Measured -151.6 @200k."""
+    cfg = SACConfig(hidden_sizes=(128, 128, 128), lr_policy=3e-3, lr_q=3e-3, batch_size=32)
+    cfg.memory.capacity = 10_000
     cfg.memory.warmup_size = 1000
-    r = srl.Runner("Pendulum-v1", cfg, num_envs=64, seed=3)
-    r.train(max_steps=300_000, train_steps_per_chunk=64, progress=False)
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=64, seed=1)
+    r.train(max_steps=200_000, train_steps_per_chunk=64, progress=False)
     rewards = r.evaluate(64)
-    assert float(rewards[0]) >= -900.0
+    assert float(rewards[0]) >= -500.0
 
 
 def test_nstep_returns_correctness():

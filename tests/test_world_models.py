@@ -108,10 +108,40 @@ def test_dreamer_grid_learning():
 
 @pytest.mark.slow
 def test_no_target_dqn_grid_learning():
-    cfg = NoTargetDQNConfig(discount=0.9, epsilon=0.2, batch_size=64, lr=1e-3)
+    """Reference bar: Grid >= 0.65 (grid.py:25-30). Measured 0.732 @200k after the
+    round-2 episode-tracker fix (round 1 dropped chunk-crossing episodes)."""
+    cfg = NoTargetDQNConfig(discount=0.9, lr=1e-3, hidden_sizes=(64, 64))
+    cfg.memory.capacity = 20_000
+    cfg.memory.warmup_size = 500
+    cfg.epsilon_scheduler.set_linear(1.0, 0.1, 500)
+    r = srl.Runner("Grid", cfg, num_envs=128, seed=3)
+    r.train(max_steps=200_000, train_steps_per_chunk=64, progress=False)
+    rewards = r.evaluate(300)
+    assert float(rewards[0]) >= 0.65
+
+
+@pytest.mark.slow
+def test_no_target_dqn_pendulum_learning():
+    """Reference recipe + bar (base_dqn_not.py test_Pendulum / Pendulum baseline
+    -500, gymnasium_wrapper.py:327-329). Measured -290 @400k."""
+    cfg = NoTargetDQNConfig(discount=0.9, lr=1e-3, hidden_sizes=(64, 64))
     cfg.memory.capacity = 50_000
     cfg.memory.warmup_size = 1000
-    r = srl.Runner("Grid", cfg, num_envs=128, seed=3)
-    r.train(max_steps=800_000, train_steps_per_chunk=128, progress=False)
-    rewards = r.evaluate(300)
-    assert float(rewards[0]) >= 0.3
+    cfg.epsilon_scheduler.set_linear(1.0, 0.1, 500)
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=64, seed=1)
+    r.train(max_steps=400_000, train_steps_per_chunk=64, progress=False)
+    assert float(r.evaluate(32)[0]) >= -500.0
+
+
+@pytest.mark.slow
+def test_no_target_sac_pendulum_learning():
+    """Reference bar: Pendulum >= -500 (base_sac_not.py test_Pendulum_continue).
+    Measured -361 @200k."""
+    cfg = NoTargetSACConfig(
+        hidden_sizes=(128, 128, 128), lr_policy=3e-3, lr_q=3e-3, batch_size=64, discount=0.9
+    )
+    cfg.memory.capacity = 10_000
+    cfg.memory.warmup_size = 1000
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=64, seed=1)
+    r.train(max_steps=200_000, train_steps_per_chunk=64, progress=False)
+    assert float(r.evaluate(32)[0]) >= -500.0
