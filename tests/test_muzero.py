@@ -53,12 +53,16 @@ def test_mz_learned_model_consistency():
 
 @pytest.mark.slow
 def test_mz_easygrid_learning():
-    cfg = MuZeroConfig(num_simulations=16, capacity=20_000, warmup_size=300,
-                       unroll_steps=3, discount=0.9, lr=2e-3, v_min=-2.0, v_max=1.5)
+    """Reference bar: EasyGrid >= 0.9 (grid.py:44-52), with the reference recipe
+    scale (base_muzero.py test_EasyGrid: 50 simulations, lr 1e-3, batch 32).
+    Measured 1.0 @200k."""
+    cfg = MuZeroConfig(num_simulations=50, capacity=20_000, warmup_size=300,
+                       unroll_steps=3, discount=0.9, lr=1e-3, v_min=-2.0, v_max=2.0,
+                       batch_size=32)
     r = srl.Runner("EasyGrid", cfg, num_envs=64, seed=1)
-    r.train(max_steps=120_000, train_steps_per_chunk=64, progress=False)
+    r.train(max_steps=200_000, train_steps_per_chunk=32, progress=False)
     rewards = r.evaluate(100)
-    assert float(rewards[0]) >= 0.4
+    assert float(rewards[0]) >= 0.9
 
 
 @pytest.mark.slow

@@ -68,6 +68,16 @@ def test_planet_smoke():
 
 
 @pytest.mark.slow
+def test_planet_easygrid_learning():
+    """Reference bar: EasyGrid >= 0.2 @5 eps (base_planet.py test_EasyGrid) — the
+    CEM planner over the learned RSSM. Measured 1.0 @150k (vs EasyGrid optimal)."""
+    cfg = PlaNetConfig()
+    r = srl.Runner("EasyGrid", cfg, num_envs=64, seed=1)
+    r.train(max_steps=150_000, progress=False)
+    assert float(r.evaluate(40)[0]) >= 0.9
+
+
+@pytest.mark.slow
 def test_no_target_dqn_smoke():
     cfg = NoTargetDQNConfig()
     cfg.memory.capacity = 1000
