@@ -112,6 +112,24 @@ def test_agent57_full_smoke():
 
 
 @pytest.mark.slow
+def test_agent57_full_pendulum_baseline():
+    """Reference bar: Pendulum >= -500 @10 eps (base_agent57.py test_Pendulum:
+    lstm 64, burnin 10, seq 10, batch 32, hidden (64,64), lr 1e-3, sync 100).
+    Measured -127.4 @300k env-steps with this recipe."""
+    from simple_distributed_rl_tpu.algorithms import Agent57Config
+
+    cfg = Agent57Config(
+        lstm_units=64, burnin=10, sequence_length=10, batch_size=32,
+        hidden_sizes=(64, 64), lr_ext=1e-3, lr_int=1e-3,
+        target_model_update_interval=100, actor_num=2, enable_rescale=True,
+        capacity=10_000, warmup_size=100,
+    )
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=64, seed=1)
+    r.train(max_steps=300_000, train_steps_per_chunk=32, progress=False)
+    assert float(r.evaluate(20)[0]) >= -500.0
+
+
+@pytest.mark.slow
 def test_agent57_full_save_load():
     import os
     import tempfile

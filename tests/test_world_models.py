@@ -68,6 +68,31 @@ def test_planet_smoke():
 
 
 @pytest.mark.slow
+def test_dreamer_grid_learning():
+    """Reference bar: Grid >= 0.4 @10 eps (base_dreamer_v3.py test_Grid:118) — the
+    reference trains ~4k updates at deter 8/stoch 16x16, bar 0.4 not the env's 0.65.
+    Measured 0.59 @300k env-steps with this recipe."""
+    cfg = DreamerV3Config(deter=64, stoch=8, classes=8, batch_size=32, batch_length=8,
+                          horizon=5, lr_wm=5e-4, lr_ac=3e-4, discount=0.9)
+    r = srl.Runner("Grid", cfg, num_envs=64, seed=1)
+    r.train(max_steps=300_000, progress=False)
+    assert float(r.evaluate(100)[0]) >= 0.4
+
+
+@pytest.mark.slow
+def test_world_models_grid_learning():
+    """Reference bar: Grid >= 0.3 @10 eps (base_world_models.py test_Grid:59 —
+    the reference's staged VAE->RNN->controller recipe asserts baseline=0.3).
+    Measured 0.42 @600k env-steps, default config."""
+    from simple_distributed_rl_tpu.algorithms import WorldModelsConfig
+
+    cfg = WorldModelsConfig()
+    r = srl.Runner("Grid", cfg, num_envs=128, seed=1)
+    r.train(max_steps=600_000, progress=False)
+    assert float(r.evaluate(300)[0]) >= 0.3
+
+
+@pytest.mark.slow
 def test_planet_easygrid_learning():
     """Reference bar: EasyGrid >= 0.2 @5 eps (base_planet.py test_EasyGrid) — the
     CEM planner over the learned RSSM. Measured 1.0 @150k (vs EasyGrid optimal)."""
