@@ -30,8 +30,18 @@ paper; the reference reuses the full MC return in the reward bins
 (worker.py:137-150) — a quirk not reproduced. The reference's MC backup
 (leaf v unused, q_sum += value_prefix, mcts.py:120-137) is re-expressed as the
 standard PUCT backup over implied per-edge rewards r = vp_node - gamma*...
-prefix difference, keeping Q estimates well-defined at any depth. Continuous
-action spaces (sampled-candidate search) are not yet supported here.
+prefix difference, keeping Q estimates well-defined at any depth.
+
+Continuous action spaces use the reference's sampled-candidate search
+(mcts.py Node.expand continuous branch / _calc_rsample_logprob:52-75): every node
+holds C = num_top_actions candidate actions drawn from its squashed-gaussian
+policy head — at the root half at the policy's variance and half at variance+0.1
+(p_dist.increase_variance(0.1)) — with priors from the squashed log-density
+(normalized across candidates here so PUCT scores stay bounded; the reference
+uses raw exp(logprob)). The candidate vectors live in a [B, M, C, adim] arena
+beside the child-index arena; descent/backup are shared with the discrete path.
+The policy loss is the negative squashed-gaussian log-likelihood of the taken
+action (trainer.py:113,135), env actions stored at env scale and atanh'd back.
 """
 
 from __future__ import annotations
@@ -47,6 +57,7 @@ from flax import struct
 
 from ..define import RLBaseTypes
 from ..memories.replay_buffer import ReplayBuffer
+from ..spaces import Box, Discrete
 from ..models.blocks import InputBlockConfig, MLPBlock
 from ..utils import rl_functions as funcs
 from .base import AlgoConfig, StepView
@@ -104,6 +115,22 @@ class EZPredNet(nn.Module):
         policy = nn.Dense(self.num_actions, kernel_init=nn.initializers.zeros)(h)
         value_logits = nn.Dense(self.value_bins)(MLPBlock((64,))(h))
         return policy, value_logits
+
+
+class EZPredNetCont(nn.Module):
+    """Continuous-action prediction head: squashed-gaussian policy params +
+    value bins (model.py:270 NormalDistBlock branch)."""
+
+    adim: int
+    value_bins: int
+
+    @nn.compact
+    def __call__(self, latent):
+        h = MLPBlock((128,))(latent)
+        loc = nn.Dense(self.adim, kernel_init=nn.initializers.zeros)(h)
+        log_scale = jnp.clip(nn.Dense(self.adim)(h), -5.0, 2.0)
+        value_logits = nn.Dense(self.value_bins)(MLPBlock((64,))(h))
+        return (loc, log_scale), value_logits
 
 
 class EZProjector(nn.Module):
@@ -203,6 +230,12 @@ class EfficientZeroV2Config(AlgoConfig):
     def get_name(self) -> str:
         return "EfficientZeroV2"
 
+    def setup(self, env) -> None:
+        # continuous action spaces keep their native representation
+        if not isinstance(env.action_space, Discrete):
+            self.action_type = RLBaseTypes.BOX
+        super().setup(env)
+
     def set_small_params(self):
         """(parity: config.py set_small_params)"""
         self.batch_size = 32
@@ -215,12 +248,27 @@ class EfficientZeroV2Config(AlgoConfig):
 
     def on_setup(self) -> None:
         assert self.num_top_actions % 2 == 0
-        self.A = self.action_space.n
-        self.topk = min(self.num_top_actions, self.A)
+        self.is_discrete = isinstance(self.action_space, Discrete)
         self.M = self.num_simulations + 1
         self.repr_net = EZReprNet(self.obs_space, self.input_block, self.latent_dim)
-        self.dyn_net = EZDynamicsNet(self.latent_dim, self.A, self.value_bins, self.lstm_units)
-        self.pred_net = EZPredNet(self.A, self.value_bins)
+        if self.is_discrete:
+            self.A = self.action_space.n
+            self.topk = min(self.num_top_actions, self.A)
+            # S = width of the per-node child arena (the action alphabet)
+            self.S = self.A
+            self.adim = 0
+            self.pred_net = EZPredNet(self.A, self.value_bins)
+        else:
+            aspace = self.action_space
+            assert isinstance(aspace, Box)
+            self.adim = aspace.flat_size
+            self._a_low, self._a_high = float(aspace.low), float(aspace.high)
+            # S = sampled-candidate slots per node (mcts.py continuous expand)
+            self.S = self.num_top_actions
+            self.A = self.S  # child-arena width alias used by the search
+            self.pred_net = EZPredNetCont(self.adim, self.value_bins)
+        act_width = self.A if self.is_discrete else self.adim
+        self.dyn_net = EZDynamicsNet(self.latent_dim, act_width, self.value_bins, self.lstm_units)
         self.proj_net = EZProjector(
             self.projection_hid, self.projection_out,
             self.projection_head_hid, self.projection_head_out,
@@ -241,13 +289,59 @@ class EfficientZeroV2Config(AlgoConfig):
             tau = jnp.where(step < limit, val, tau)
         return jnp.where(training, tau, self.test_policy_tau)
 
+    def _scale(self, a):
+        return self._a_low + (a + 1.0) * 0.5 * (self._a_high - self._a_low)
+
+    def _unscale(self, a_env):
+        return jnp.clip(
+            (a_env - self._a_low) / (self._a_high - self._a_low) * 2.0 - 1.0,
+            -1.0 + 1e-6,
+            1.0 - 1e-6,
+        )
+
+    @staticmethod
+    def _sgp_logp(u, loc, log_scale):
+        """Squashed-gaussian log-density of pre-tanh sample u (log_prob_sgp,
+        mcts.py:73-75), summed over action dims."""
+        var = jnp.exp(2.0 * log_scale)
+        logn = -0.5 * ((u - loc) ** 2 / jnp.maximum(var, 1e-8)
+                       + 2.0 * log_scale + jnp.log(2.0 * jnp.pi))
+        corr = jnp.log(1.0 - jnp.tanh(u) ** 2 + 1e-6)
+        return jnp.sum(logn - corr, axis=-1)
+
+    def _sample_candidates(self, loc, log_scale, key, is_root):
+        """[.., C, adim] pre-tanh candidates + normalized priors (Node.expand
+        continuous branch: root = C/2 at sigma + C/2 at sqrt(var+0.1))."""
+        C = self.S
+        std = jnp.exp(log_scale)
+        widened = jnp.sqrt(std**2 + 0.1)  # p_dist.increase_variance(0.1)
+        eps = jax.random.normal(key, loc.shape[:-1] + (C, self.adim))
+        std_c = jnp.where(
+            is_root,
+            jnp.concatenate([
+                jnp.broadcast_to(std[..., None, :], loc.shape[:-1] + (C // 2, self.adim)),
+                jnp.broadcast_to(widened[..., None, :], loc.shape[:-1] + (C - C // 2, self.adim)),
+            ], axis=-2),
+            jnp.broadcast_to(std[..., None, :], loc.shape[:-1] + (C, self.adim)),
+        )
+        u = loc[..., None, :] + std_c * eps
+        logp = self._sgp_logp(u, loc[..., None, :], log_scale[..., None, :])
+        prior = jax.nn.softmax(logp, axis=-1)
+        return u, prior
+
     def _example_item(self) -> EZItem:
         K, A = self.unroll_steps, self.A
         o0 = self.obs_space.zero()
+        if self.is_discrete:
+            actions0 = jnp.zeros((K,), jnp.int32)
+            policies0 = jnp.full((K + 1, A), 1.0 / A)
+        else:
+            actions0 = jnp.zeros((K, self.adim), jnp.float32)
+            policies0 = jnp.zeros((K + 1, 1))
         return EZItem(
             obs=jnp.zeros((K + 1,) + o0.shape, o0.dtype),
-            actions=jnp.zeros((K,), jnp.int32),
-            policies=jnp.full((K + 1, A), 1.0 / A),
+            actions=actions0,
+            policies=policies0,
             value_prefix=jnp.zeros((K,)),
             z=jnp.zeros((K + 1,)),
             absorbed=jnp.zeros((K + 1,)),
@@ -258,9 +352,10 @@ class EfficientZeroV2Config(AlgoConfig):
         obs0 = self.obs_space.zero()[None]
         latent0 = jnp.zeros((1, self.latent_dim))
         carry0 = self._zero_carry(1)
+        act0 = jnp.zeros((1, self.A if self.is_discrete else self.adim))
         params = {
             "repr": self.repr_net.init(ks[0], obs0),
-            "dyn": self.dyn_net.init(ks[1], latent0, jnp.zeros((1, self.A)), carry0),
+            "dyn": self.dyn_net.init(ks[1], latent0, act0, carry0),
             "pred": self.pred_net.init(ks[2], latent0),
             "proj": self.proj_net.init(ks[3], latent0),
         }
@@ -280,7 +375,10 @@ class EfficientZeroV2Config(AlgoConfig):
         )
 
     def init_actor_state(self, key, num_envs) -> EZActorState:
-        return EZActorState(last_pi=jnp.full((num_envs, self.A), 1.0 / self.A))
+        if self.is_discrete:
+            return EZActorState(last_pi=jnp.full((num_envs, self.A), 1.0 / self.A))
+        # continuous: no policy CE target (reference step_policy=None, worker.py:89)
+        return EZActorState(last_pi=jnp.zeros((num_envs, 1)))
 
     def actor_snapshot(self, actor: EZActorState):
         return {"pi": actor.last_pi}
@@ -311,17 +409,30 @@ class EfficientZeroV2Config(AlgoConfig):
 
         k_noise, k_root, key = jax.random.split(key, 3)
         latent0 = self.repr_net.apply(params["repr"], obs)
-        logits0, v_logits0 = self.pred_net.apply(params["pred"], latent0)
+        p_out0, v_logits0 = self.pred_net.apply(params["pred"], latent0)
         v0 = self._decode_bins(v_logits0)
-        prior0 = jax.nn.softmax(jnp.where(invalid_mask, -jnp.inf, logits0), -1)
-        noise = jax.random.dirichlet(k_noise, jnp.full((A,), self.root_dirichlet_alpha), (B,))
-        e = jnp.where(is_training, self.root_exploration_fraction, 0.0)
-        prior0 = (1 - e) * prior0 + e * noise
-        prior0 = jnp.where(invalid_mask, 0.0, prior0)
-        prior0 = prior0 / jnp.maximum(prior0.sum(-1, keepdims=True), 1e-12)
+        if self.is_discrete:
+            prior0 = jax.nn.softmax(jnp.where(invalid_mask, -jnp.inf, p_out0), -1)
+            noise = jax.random.dirichlet(k_noise, jnp.full((A,), self.root_dirichlet_alpha), (B,))
+            e = jnp.where(is_training, self.root_exploration_fraction, 0.0)
+            prior0 = (1 - e) * prior0 + e * noise
+            prior0 = jnp.where(invalid_mask, 0.0, prior0)
+            prior0 = prior0 / jnp.maximum(prior0.sum(-1, keepdims=True), 1e-12)
 
-        allowed0 = self._expand_mask(prior0, jnp.asarray(True), k_root)
-        allowed0 = jnp.logical_and(allowed0, jnp.logical_not(invalid_mask))
+            allowed0 = self._expand_mask(prior0, jnp.asarray(True), k_root)
+            allowed0 = jnp.logical_and(allowed0, jnp.logical_not(invalid_mask))
+            cand0 = jnp.zeros((B, 1, 1))  # unused dummy arena row
+        else:
+            # sampled-candidate root: C/2 at sigma, C/2 widened (+0.1 variance);
+            # exploration comes from the sampling itself, no dirichlet mixing
+            cand0, prior0 = self._sample_candidates(*p_out0, k_root, jnp.asarray(True))
+            allowed0 = jnp.ones((B, A), bool)
+
+        # per-node sampled candidate actions (continuous only): [B, M, C, adim]
+        if self.is_discrete:
+            child_action = jnp.zeros((B, 1, 1, 1))
+        else:
+            child_action = jnp.zeros((B, M, A, self.adim)).at[:, 0].set(cand0)
 
         node_latent = jnp.zeros((B, M, D)).at[:, 0].set(latent0)
         node_c = jnp.zeros((B, M, U))
@@ -336,7 +447,8 @@ class EfficientZeroV2Config(AlgoConfig):
 
         def one_sim(carry, sim_i):
             (node_latent, node_c, node_h, node_reward, node_vp, child_prior,
-             child_allowed, child_index, visits, value_sum, qmin, qmax, key) = carry
+             child_allowed, child_index, child_action, visits, value_sum,
+             qmin, qmax, key) = carry
             new_idx = sim_i + 1
 
             def descend(cp, ca, ci, vis, vsum, k):
@@ -396,17 +508,25 @@ class EfficientZeroV2Config(AlgoConfig):
             idxB = jnp.arange(B)
             parent_latent = node_latent[idxB, parent]
             parent_carry = (node_c[idxB, parent], node_h[idxB, parent])
-            a_onehot = jax.nn.one_hot(action, A)
+            if self.is_discrete:
+                a_in = jax.nn.one_hot(action, A)
+            else:
+                a_in = jnp.tanh(child_action[idxB, parent, action])
             latent2, vp_logits, carry2 = self.dyn_net.apply(
-                params["dyn"], parent_latent, a_onehot, parent_carry
+                params["dyn"], parent_latent, a_in, parent_carry
             )
             vp = self._decode_bins(vp_logits)
             # implied per-edge reward from the prefix difference
             reward = vp - self.discount * node_vp[idxB, parent]
-            logits, v_logits = self.pred_net.apply(params["pred"], latent2)
+            p_out, v_logits = self.pred_net.apply(params["pred"], latent2)
             v_leaf = self._decode_bins(v_logits)
-            prior = jax.nn.softmax(logits, -1)
-            allowed = self._expand_mask(prior, jnp.asarray(False), k_exp)
+            if self.is_discrete:
+                prior = jax.nn.softmax(p_out, -1)
+                allowed = self._expand_mask(prior, jnp.asarray(False), k_exp)
+            else:
+                cand, prior = self._sample_candidates(*p_out, k_exp, jnp.asarray(False))
+                allowed = jnp.ones((B, A), bool)
+                child_action = child_action.at[idxB, new_idx].set(cand)
 
             node_latent = node_latent.at[idxB, new_idx].set(latent2)
             node_c = node_c.at[idxB, new_idx].set(carry2[0])
@@ -440,12 +560,15 @@ class EfficientZeroV2Config(AlgoConfig):
             qmin = jnp.minimum(qmin, jnp.min(jnp.where(visits > 0, q_all, jnp.inf)))
             qmax = jnp.maximum(qmax, jnp.max(jnp.where(visits > 0, q_all, -jnp.inf)))
             return (node_latent, node_c, node_h, node_reward, node_vp, child_prior,
-                    child_allowed, child_index, visits, value_sum, qmin, qmax, key), None
+                    child_allowed, child_index, child_action, visits, value_sum,
+                    qmin, qmax, key), None
 
         carry = (node_latent, node_c, node_h, node_reward, node_vp, child_prior,
-                 child_allowed, child_index, visits, value_sum, q_min, q_max, key)
+                 child_allowed, child_index, child_action, visits, value_sum,
+                 q_min, q_max, key)
         carry, _ = jax.lax.scan(one_sim, carry, jnp.arange(self.num_simulations))
-        (_, _, _, _, _, child_prior, _, child_index, visits, value_sum, q_min, q_max, _) = carry
+        (_, _, _, _, _, child_prior, _, child_index, child_action, visits,
+         value_sum, q_min, q_max, _) = carry
 
         idxB = jnp.arange(B)[:, None]
         rc = child_index[:, 0]
@@ -453,12 +576,16 @@ class EfficientZeroV2Config(AlgoConfig):
         q_root = jnp.where(
             rc >= 0, value_sum[idxB, jnp.maximum(rc, 0)], 0.0
         ) / jnp.maximum(counts, 1.0)
-        return counts, q_root, child_prior[:, 0], v0, q_min, q_max
+        root_cand = None if self.is_discrete else child_action[:, 0]
+        return counts, q_root, child_prior[:, 0], v0, q_min, q_max, root_cand
 
     # ------------------------------------------------------------------
     def policy_step(self, state: EZState, actor: EZActorState, obs, invalid_mask, ctx, key, episode_start):
         key, k_search, k_pick = jax.random.split(key, 3)
-        counts, q_root, prior_root, v0, _, _ = self._search(
+        if not self.is_discrete:
+            B_ = jax.tree.leaves(obs)[0].shape[0]
+            invalid_mask = jnp.zeros((B_, self.A), bool)
+        counts, q_root, prior_root, v0, _, _, root_cand = self._search(
             state.params, obs, invalid_mask, state.q_min, state.q_max, k_search, ctx.training
         )
 
@@ -468,6 +595,12 @@ class EfficientZeroV2Config(AlgoConfig):
             counts > 0, jnp.log(jnp.maximum(counts, 1e-12)) / jnp.maximum(tau, 1e-6), -jnp.inf
         )
         action = jax.random.categorical(k_pick, logits, -1).astype(jnp.int32)
+
+        if not self.is_discrete:
+            # env action = rescaled tanh of the chosen candidate (worker.py:91-93)
+            u = root_cand[jnp.arange(B_), action]
+            env_a = self._scale(jnp.tanh(u))
+            return env_a, EZActorState(last_pi=jnp.zeros((B_, 1)))
 
         # gumbel completed-Q learning policy (worker.py:62-84)
         if self.enable_gumbel_search:
@@ -521,10 +654,17 @@ class EfficientZeroV2Config(AlgoConfig):
         for j in range(K):
             vp_acc = vp_acc + jnp.where(absorbed_j, 0.0, (self.discount**j) * shifted(sv.reward, j))
             vps.append(vp_acc)
-            acts_l.append(jnp.where(absorbed_j, 0, shifted(sv.action, j)).astype(jnp.int32))
+            if self.is_discrete:
+                acts_l.append(jnp.where(absorbed_j, 0, shifted(sv.action, j)).astype(jnp.int32))
+            else:
+                mid = 0.5 * (self._a_low + self._a_high)
+                acts_l.append(jnp.where(
+                    absorbed_j[..., None], mid, shifted(sv.action.astype(jnp.float32), j)
+                ))
             absorbed_j = jnp.logical_or(absorbed_j, shifted(done, j, fill=True))
             obs_l.append(jax.tree.map(lambda x: shifted(x, j + 1), sv.obs))
-            pis.append(jnp.where(absorbed_j[..., None], 1.0 / self.A, shifted(sv.actor_snapshot["pi"], j + 1)))
+            fill_pi = 1.0 / self.A if self.is_discrete else 0.0
+            pis.append(jnp.where(absorbed_j[..., None], fill_pi, shifted(sv.actor_snapshot["pi"], j + 1)))
             zs.append(jnp.where(absorbed_j, 0.0, shifted(z, j + 1)))
             absorbed.append(absorbed_j.astype(jnp.float32))
 
@@ -560,19 +700,31 @@ class EfficientZeroV2Config(AlgoConfig):
             for k in range(K + 1):
                 w = jnp.maximum(1.0 - batch.absorbed[:, k], 0.0)
                 scale = 1.0 if k == 0 else gscale
-                p_logits, v_logits = self.pred_net.apply(params["pred"], latent)
-                lp = jax.nn.log_softmax(p_logits, -1)
-                l_pi = -jnp.sum(batch.policies[:, k] * lp, -1)
-                if k < K:
-                    # + action log-likelihood term (trainer.py:110-113)
-                    l_pi = l_pi - jnp.take_along_axis(lp, batch.actions[:, k, None], -1)[:, 0]
+                p_out, v_logits = self.pred_net.apply(params["pred"], latent)
+                if self.is_discrete:
+                    lp = jax.nn.log_softmax(p_out, -1)
+                    l_pi = -jnp.sum(batch.policies[:, k] * lp, -1)
+                    if k < K:
+                        # + action log-likelihood term (trainer.py:110-113)
+                        l_pi = l_pi - jnp.take_along_axis(lp, batch.actions[:, k, None], -1)[:, 0]
+                else:
+                    # continuous: NLL of the taken action under the squashed
+                    # gaussian (trainer.py:113,135; no CE target exists)
+                    if k < K:
+                        u = jnp.arctanh(self._unscale(batch.actions[:, k]))
+                        l_pi = -self._sgp_logp(u, *p_out)
+                    else:
+                        l_pi = jnp.zeros((bs,))
                 v_target = funcs.twohot_encode(batch.z[:, k], self.value_bins, self.v_min, self.v_max)
                 l_v = -jnp.sum(v_target * jax.nn.log_softmax(v_logits, -1), -1)
                 p_loss = p_loss + self._gs(jnp.mean(l_pi * w), scale)
                 v_loss = v_loss + self._gs(jnp.mean(l_v * w), scale)
                 if k < K:
-                    a_onehot = jax.nn.one_hot(batch.actions[:, k], self.A)
-                    latent, vp_logits, carry = self.dyn_net.apply(params["dyn"], latent, a_onehot, carry)
+                    if self.is_discrete:
+                        a_in = jax.nn.one_hot(batch.actions[:, k], self.A)
+                    else:
+                        a_in = self._unscale(batch.actions[:, k])
+                    latent, vp_logits, carry = self.dyn_net.apply(params["dyn"], latent, a_in, carry)
                     wn = jnp.maximum(1.0 - batch.absorbed[:, k + 1], 0.0)
                     vp_target = funcs.twohot_encode(
                         batch.value_prefix[:, k], self.value_bins, self.v_min, self.v_max

@@ -1,5 +1,6 @@
 """EfficientZeroV2 tests (LSTM value-prefix dynamics + consistency + gumbel)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -58,3 +59,34 @@ def test_ez2_easygrid_baseline():
     r.train(max_steps=120_000, train_steps_per_chunk=16, progress=False)
     rewards = r.evaluate(100)
     assert float(rewards[0]) >= 0.5
+
+
+@pytest.mark.slow
+def test_ez2_continuous_smoke():
+    """Sampled-candidate continuous search (mcts.py Node.expand continuous
+    branch): candidates per node, squashed-gaussian NLL policy loss."""
+    cfg = EfficientZeroV2Config(
+        num_simulations=8, num_top_actions=4, batch_size=8, capacity=500,
+        warmup_size=20, unroll_steps=3, latent_dim=16, lstm_units=16,
+        value_bins=21, v_min=-20.0, v_max=5.0, discount=0.99,
+    )
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=8, seed=0)
+    r.train(max_steps=2048, chunk_steps=256, train_steps_per_chunk=4, progress=False)
+    rewards = r.evaluate(4)
+    assert np.isfinite(rewards).all()
+    assert int(r.algo_state.train_count) > 0
+    # actions stored at env scale as float vectors
+    assert r.algo_state.memory.data.actions.dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_ez2_continuous_action_range():
+    cfg = EfficientZeroV2Config(
+        num_simulations=4, num_top_actions=4, batch_size=4, capacity=100,
+        warmup_size=10, unroll_steps=2, latent_dim=8, lstm_units=8, value_bins=11,
+    )
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=4, seed=1)
+    r.train(max_steps=512, chunk_steps=256, train_steps_per_chunk=1, progress=False)
+    n = int(r.algo_state.memory.size)
+    acts = np.asarray(r.algo_state.memory.data.actions[:n])
+    assert acts.min() >= -2.0 - 1e-5 and acts.max() <= 2.0 + 1e-5
