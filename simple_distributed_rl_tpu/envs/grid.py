@@ -87,8 +87,11 @@ class Grid(EnvCore):
                     if not (0 <= nx < self.W and 0 <= ny < self.H) or self.field[ny, nx] == 9:
                         nx, ny = x, y
                     nxt[y, x, a] = (nx, ny)
-        self._move_tbl = jnp.asarray(nxt)
-        self._field_dev = jnp.asarray(self.field)
+        # flat [(H*W*4), 2] layout: one linear-index gather under vmap (a (y,x,a)
+        # triple-index lowers to a batched gather that broadcasts the whole table
+        # per env — 19% of the DQN/Grid chunk time on TPU before flattening)
+        self._move_tbl = jnp.asarray(nxt.reshape(-1, 2))
+        self._field_dev = jnp.asarray(self.field.reshape(-1))
         self._log_probs = jnp.log(jnp.asarray(np.maximum(probs, 1e-30)))
         self._starts_dev = jnp.asarray(self.start_xy)
 
@@ -120,8 +123,8 @@ class Grid(EnvCore):
 
     def step(self, state: GridState, action, key) -> Tuple[GridState, TimeStep]:
         move = jax.random.categorical(key, self._log_probs[action]).astype(jnp.int32)
-        new_pos = self._move_tbl[state.pos[1], state.pos[0], move]
-        cell = self._field_dev[new_pos[1], new_pos[0]]
+        new_pos = self._move_tbl[(state.pos[1] * self.W + state.pos[0]) * 4 + move]
+        cell = self._field_dev[new_pos[1] * self.W + new_pos[0]]
         reward = jnp.where(
             cell == 1, self.goal_reward, jnp.where(cell == -1, self.hole_reward, self.move_reward)
         )

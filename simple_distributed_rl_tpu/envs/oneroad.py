@@ -100,7 +100,8 @@ class IGrid(EnvCore):
         self.H = self.length + 2
         field = [[1, 1, 1]] + [[0, 1, 0]] * self.length + [[2, 1, 3]]
         self.field = np.asarray(field, np.int32)
-        self._field_dev = jnp.asarray(self.field)
+        # flat layout: single linear-index gather under vmap (no per-env broadcast)
+        self._field_dev = jnp.asarray(self.field.reshape(-1))
         self.start = (1, (self.H - 1) // 2)
 
     @property
@@ -131,11 +132,11 @@ class IGrid(EnvCore):
         in_bounds = (x >= 0) & (x < self.W) & (y >= 0) & (y < self.H)
         xc = jnp.clip(x, 0, self.W - 1)
         yc = jnp.clip(y, 0, self.H - 1)
-        walkable = in_bounds & (self._field_dev[yc, xc] != 0)
+        walkable = in_bounds & (self._field_dev[yc * self.W + xc] != 0)
         nx = jnp.where(walkable, xc, state.pos[0])
         ny = jnp.where(walkable, yc, state.pos[1])
 
-        cell = self._field_dev[ny, nx]
+        cell = self._field_dev[ny * self.W + nx]
         key_state = jnp.where(cell == 2, 1, jnp.where(cell == 3, 2, state.key_state))
 
         # corners: (0,0) is "C", (2,0) is "D" — active only once a key is held
