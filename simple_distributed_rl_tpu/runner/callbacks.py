@@ -133,6 +133,23 @@ class HistoryOnFile(RunCallback):
             self._fp = None
 
 
+class HistoryOnMemory(RunCallback):
+    """In-memory per-chunk history (parity: history_on_memory.py HistoryOnMemory
+    — same record shape as HistoryOnFile, no disk). Read back via
+    ``Runner.get_history()`` which wraps the records in a HistoryViewer."""
+
+    def __init__(self):
+        self.records: list = []
+
+    def on_start(self, runner) -> None:
+        self._t0 = time.time()
+
+    def on_chunk_end(self, runner, stats) -> None:
+        rec = {"time": time.time() - self._t0}
+        rec.update({k: v for k, v in stats.items() if isinstance(v, (int, float))})
+        self.records.append(rec)
+
+
 class Checkpoint(RunCallback):
     """Interval parameter snapshots named <time>_<traincount>.pkl.xz (parity:
     checkpoint.py:20-94 naming date_traincount_evalreward)."""

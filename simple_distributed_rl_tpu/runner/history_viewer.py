@@ -9,8 +9,13 @@ from typing import List, Optional
 
 
 class HistoryViewer:
-    def __init__(self, save_dir: str):
+    def __init__(self, save_dir: Optional[str] = None, records: Optional[list] = None):
         self.save_dir = save_dir
+        if records is not None:
+            # in-memory history (parity: HistoryOnMemory -> Runner.get_history())
+            self.records = list(records)
+            return
+        assert save_dir is not None, "need save_dir or records"
         path = os.path.join(save_dir, "history.jsonl")
         self.records = []
         with open(path) as f:

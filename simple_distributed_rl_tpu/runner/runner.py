@@ -66,6 +66,23 @@ class Runner:
         self._chunk_steps = None
         self._eval_fns: Dict[tuple, Any] = {}
         self._eval_calls = 0
+        self._history_cb = None
+
+    # --- history (parity: Runner.set_history_on_memory/get_history) --------
+    def set_history_on_memory(self):
+        """Record per-chunk stats in memory for every subsequent train call
+        (parity: runner.set_history_on_memory, callbacks/history_on_memory.py)."""
+        from .callbacks import HistoryOnMemory
+
+        self._history_cb = HistoryOnMemory()
+        return self._history_cb
+
+    def get_history(self):
+        """HistoryViewer over the in-memory records (parity: runner.get_history)."""
+        from .history_viewer import HistoryViewer
+
+        assert self._history_cb is not None, "call set_history_on_memory() first"
+        return HistoryViewer(records=self._history_cb.records)
 
     # --- state ------------------------------------------------------------
     @property
@@ -105,6 +122,8 @@ class Runner:
             self._chunk_steps = chunk_steps
 
         callbacks = list(callbacks or [])
+        if self._history_cb is not None:
+            callbacks.append(self._history_cb)
         if progress:
             callbacks.append(PrintProgress())
         for c in callbacks:
