@@ -179,6 +179,7 @@ class Runner:
         chunk_steps: int = 32,
         train_steps_per_chunk: Optional[int] = None,
         num_devices: Optional[int] = None,
+        callbacks: Optional[List[RunCallback]] = None,
         progress: bool = True,
     ) -> Dict[str, Any]:
         """Data-parallel training over the device mesh — the TPU-native successor of
@@ -200,6 +201,25 @@ class Runner:
         required = getattr(self.algo, "required_chunk_steps", None)
         if required is not None:
             chunk_steps = required
+        callbacks = list(callbacks or [])
+        if self._history_cb is not None:
+            callbacks.append(self._history_cb)
+        from ..parallel.multihost import read_local_shard
+
+        def sync_carry(carry):
+            # adopt one replica's learner state into the single-device carry —
+            # replicas are pmean-identical, so the local shard IS the state. Used
+            # both mid-run (before callbacks, so Checkpoint/Orbax persist the live
+            # state) and at the end.
+            params = jax.tree.map(
+                jnp.asarray, read_local_shard(self.algo.params_of(carry.algo_state))
+            )
+            self._carry = self.carry.replace(
+                algo_state=self.algo.restore_params(self.algo_state, params)
+            )
+
+        for c in callbacks:
+            c.on_start(self)
         try:
             fn = dp.build_chunk(chunk_steps, train_steps_per_chunk, training=True)
             # continue from previously trained/loaded parameters (parity: the
@@ -217,20 +237,26 @@ class Runner:
             while True:
                 carry, metrics = fn(carry)
                 steps = dp.total_env_steps(carry)
-                if max_steps and steps >= max_steps:
-                    break
-                if timeout and time.time() - t0 >= timeout:
-                    break
-            # adopt one replica's learner state into the single-device carry (all
-            # replicas are identical; multi-host safe via the local shard)
-            from ..parallel.multihost import read_local_shard
+                stop = False
+                if callbacks:
+                    sync_carry(carry)
+                    stats = {"env_steps": steps, "elapsed": time.time() - t0}
+                    from ..parallel.data_parallel import _host_read
 
-            params = jax.tree.map(
-                jnp.asarray, read_local_shard(self.algo.params_of(carry.algo_state))
-            )
-            self._carry = self.carry.replace(
-                algo_state=self.algo.restore_params(self.algo_state, params)
-            )
+                    for k, v in metrics.items():
+                        stats[k] = float(np.asarray(_host_read(v)).mean())
+                    for c in callbacks:
+                        if c.on_chunk_end(self, stats) is False:
+                            stop = True
+                if max_steps and steps >= max_steps:
+                    stop = True
+                if timeout and time.time() - t0 >= timeout:
+                    stop = True
+                if stop:
+                    break
+            sync_carry(carry)
+            for c in callbacks:
+                c.on_end(self)
         finally:
             # the dp engine pins algo.pmean_axis for its traces; clear it so later
             # single-device train/rollout/eval traces don't reference an unbound axis

@@ -142,3 +142,28 @@ def test_dp_learning_easygrid(mesh8):
     ev = dp.build_eval(16)
     rewards, _ = ev(carry, jax.random.PRNGKey(1))
     assert float(rewards[0]) >= 0.85
+
+
+@pytest.mark.slow
+def test_train_mp_callbacks_and_orbax(tmp_path):
+    """train_mp fires RunCallbacks with synced live state: interval Orbax
+    checkpoints of a DP run restore into a fresh runner (the sharded-state
+    checkpoint path; replicas are pmean-identical so the synced single-device
+    state IS the run state)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from simple_distributed_rl_tpu.runner.callbacks import HistoryOnMemory, OrbaxCheckpoint
+
+    r = srl.Runner("Grid", QLConfig(), num_envs=64, seed=3)
+    hist = HistoryOnMemory()
+    ck = OrbaxCheckpoint(str(tmp_path / "ckpt"), interval=0.0)
+    r.train_mp(max_steps=30_000, callbacks=[hist, ck], progress=False)
+
+    assert len(hist.records) >= 1
+    assert hist.records[-1]["env_steps"] >= 30_000
+    q_trained = np.asarray(r.algo_state.q_table)
+    assert np.abs(q_trained).sum() > 0  # callbacks saw trained state
+
+    r2 = srl.Runner("Grid", QLConfig(), num_envs=64, seed=4)
+    OrbaxCheckpoint.restore(str(tmp_path / "ckpt"), r2)
+    assert np.allclose(np.asarray(r2.algo_state.q_table), q_trained)
