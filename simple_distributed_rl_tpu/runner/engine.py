@@ -104,6 +104,9 @@ class EngineState:
     episode_count: Array  # int32 completed episodes (cumulative)
     episode_reward_sum: Array  # [P] sum of finished-episode total rewards
     env_steps: Array  # int64-ish total env steps (B per lockstep)
+    # per-opponent recurrent policy states (tuple aligned with engine.opponents;
+    # None entries for stateless opponents; () when no nested opponents)
+    opp_actor_states: Any = ()
 
 
 class PlayEngine:
@@ -148,9 +151,9 @@ class PlayEngine:
         self.opponents = []
         for i, (opp_cfg, opp_params) in enumerate(opp_specs):
             opp_cfg.setup(env)
-            assert not opp_cfg.has_actor_state and getattr(opp_cfg, "window_length", 1) == 1, (
-                "recurrent/window-stacked algorithms are not supported as opponent "
-                "players yet — use them as the main algorithm"
+            assert getattr(opp_cfg, "window_length", 1) == 1, (
+                "window-stacked algorithms are not supported as opponent players "
+                "yet — use them as the main algorithm"
             )
             opp_state = opp_cfg.init(jax.random.PRNGKey(97_000 + i))
             if opp_params is not None:
@@ -230,6 +233,11 @@ class PlayEngine:
             invalid=jnp.zeros((B, P, self.A), jnp.bool_),
             active=jnp.zeros((B, P), jnp.bool_),
         )
+        opp_actor_states = tuple(
+            (opp_cfg.init_actor_state(jax.random.PRNGKey(98_000 + i), B)
+             if opp_cfg.has_actor_state else None)
+            for i, (opp_cfg, _) in enumerate(self.opponents)
+        )
         return EngineState(
             key=key,
             env_state=env_state,
@@ -243,6 +251,7 @@ class PlayEngine:
             episode_count=jnp.asarray(0, jnp.int32),
             episode_reward_sum=jnp.zeros((P,), jnp.float32),
             env_steps=jnp.asarray(0, jnp.int32),
+            opp_actor_states=opp_actor_states,
         )
 
     # ------------------------------------------------------------------
@@ -288,7 +297,7 @@ class PlayEngine:
         a_env = self._v_act_dec(a_rl)
 
         if all(c == MAIN for c in self.player_codes):
-            return a_env, a_rl, actor_state, algo_state
+            return a_env, a_rl, actor_state, algo_state, carry.opp_actor_states
 
         a_rand_env = self._v_sample(jax.random.split(k_rand, B), ts.invalid_mask)
         codes = jnp.asarray(self.player_codes, jnp.int32)[ts.next_player]  # [B]
@@ -314,8 +323,10 @@ class PlayEngine:
             )
 
         # nested-algorithm opponents (parity: RLConfig players with own parameter,
-        # base/rl/registration.py:149-225) — frozen policies computed in lockstep
+        # base/rl/registration.py:149-225) — frozen policies computed in lockstep;
+        # recurrent opponents carry their per-env actor state in the engine carry
         used_opp = sorted({c for c in self.player_codes if c >= OPP0})
+        opp_actor_states = list(carry.opp_actor_states)
         for code in used_opp:
             opp_cfg, opp_state = self.opponents[code - OPP0]
             k_rand, k_o = jax.random.split(k_rand)
@@ -329,14 +340,27 @@ class PlayEngine:
                 autoreset_state=carry.env_state if opp_cfg.needs_env_state else None,
                 prev_rewards=ts.rewards,
             )
-            a_o_rl = opp_cfg.policy(opp_state, enc_o, ts.invalid_mask, octx, k_o)
-            if opp_cfg.policy_updates_state:
-                a_o_rl = a_o_rl[0]
+            if opp_cfg.has_actor_state:
+                out = opp_cfg.policy_step(
+                    opp_state, opp_actor_states[code - OPP0], enc_o, ts.invalid_mask,
+                    octx, k_o, carry.env_state.step_num == 0,
+                )
+                a_o_rl, opp_actor = out[0], out[1]  # trailing algo-state ignored (frozen)
+                # advance the recurrent state only on the opponent's own turns
+                take = codes == code
+                opp_actor_states[code - OPP0] = jax.tree.map(
+                    lambda new, old: sel(new, old, take),
+                    opp_actor, opp_actor_states[code - OPP0],
+                )
+            else:
+                a_o_rl = opp_cfg.policy(opp_state, enc_o, ts.invalid_mask, octx, k_o)
+                if opp_cfg.policy_updates_state:
+                    a_o_rl = a_o_rl[0]
             a_o = jax.vmap(opp_cfg.action_encoder.decode)(a_o_rl)
             a_env_sel = jax.tree.map(
                 lambda w, cur: sel(w, cur, codes == code), a_o, a_env_sel
             )
-        return a_env_sel, a_rl, actor_state, algo_state
+        return a_env_sel, a_rl, actor_state, algo_state, tuple(opp_actor_states)
 
     # ------------------------------------------------------------------
     def _rollout_step(self, carry: EngineState, training: bool):
@@ -351,8 +375,8 @@ class PlayEngine:
             self.algo.actor_snapshot(carry.actor_state) if self.algo.needs_step_view else None
         )
         episode_start = carry.env_state.step_num == 0
-        a_env, a_rl, actor_state, algo_state_post_policy = self._select_actions(
-            carry, training, (k_policy, k_rand)
+        a_env, a_rl, actor_state, algo_state_post_policy, opp_actor_states = (
+            self._select_actions(carry, training, (k_policy, k_rand))
         )
 
         codes = jnp.asarray(self.player_codes, jnp.int32)[p]
@@ -465,6 +489,7 @@ class PlayEngine:
                 jnp.where(done[:, None], env_state.last_episode_reward, 0.0), axis=0
             ),
             env_steps=carry.env_steps + B,
+            opp_actor_states=opp_actor_states,
         )
         return new_carry, (transitions, mask, step_view)
 
