@@ -611,6 +611,57 @@ class Runner:
                 break
         return total
 
+    def render_window(
+        self,
+        max_steps: int = 200,
+        render_interval: float = 0.2,
+        num_episodes: int = 1,
+        render_rl: bool = True,
+    ):
+        """Play greedy episodes LIVE in a pygame window with the current policy
+        (parity: Runner.render_window, runner/runner.py:866-900 — one episode,
+        trainer disabled, frame per step at ``render_interval`` seconds).
+        Headless environments fall back to returning the frame list."""
+        from .render import composite_frame, env_frame
+
+        frames = []
+        screen = [None]
+
+        def on_frame(env, state, info, rl_text):
+            img = env_frame(env, state)
+            if render_rl and (rl_text or info):
+                img = composite_frame(img, "\n".join(t for t in (info, rl_text) if t))
+            frames.append(img)
+            if screen[0] is False:
+                return
+            try:
+                import os
+
+                if not os.environ.get("DISPLAY"):
+                    raise RuntimeError("headless")
+                import pygame
+
+                if screen[0] is None:
+                    pygame.init()
+                    h, w = img.shape[:2]
+                    screen[0] = pygame.display.set_mode((w, h))
+                    pygame.display.set_caption("render_window")
+                surf = pygame.surfarray.make_surface(img.swapaxes(0, 1))
+                screen[0].blit(surf, (0, 0))
+                pygame.display.flip()
+                pygame.event.pump()
+                time.sleep(max(render_interval, 0.0))
+            except Exception:
+                screen[0] = False  # headless: record frames only
+
+        for _ in range(num_episodes):
+            self._play_episode_host(max_steps, on_frame)
+        if screen[0] not in (None, False):
+            import pygame
+
+            pygame.quit()
+        return frames
+
     def replay_window(self, max_steps: int = 200):
         """Record one greedy episode and open a pygame scrubber over its frames
         (parity: Runner.replay_window, runner/runner.py:1121 / RePlayableGame).

@@ -216,3 +216,14 @@ def test_external_agent_drive():
         if bool(ts.done):
             break
     assert total >= 0.9  # EasyGrid optimal
+
+
+@pytest.mark.slow
+def test_render_window_headless_fallback():
+    """Live train-time viewer (parity: Runner.render_window, runner/runner.py:866):
+    headless falls back to returning composed frames."""
+    r = srl.Runner("Grid", QLConfig(), num_envs=16, seed=0)
+    r.train(max_steps=2_000, progress=False)
+    frames = r.render_window(max_steps=20, render_interval=0.0)
+    assert len(frames) >= 2
+    assert frames[0].ndim == 3 and frames[0].shape[2] == 3
