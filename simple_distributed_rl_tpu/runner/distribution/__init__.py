@@ -34,4 +34,9 @@ from .connectors import (  # noqa: F401
 )
 from .kv_server import KVServer  # noqa: F401
 from .payload import dumps, loads  # noqa: F401
+from .dist_callbacks import (  # noqa: F401
+    DistCheckpoint,
+    DistHistoryOnFile,
+    DistributionCallback,
+)
 from .task_manager import TaskConfig, TaskManager  # noqa: F401

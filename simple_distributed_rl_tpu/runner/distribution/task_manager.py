@@ -227,18 +227,34 @@ class TaskManager:
         callbacks: Optional[List] = None,
         raise_exception: bool = False,
     ) -> str:
+        from .dist_callbacks import DistributionCallback
+
         t0 = time.time()
         last = 0.0
         callbacks = callbacks or []
+        typed = [c for c in callbacks if isinstance(c, DistributionCallback)]
+        plain = [c for c in callbacks if not isinstance(c, DistributionCallback)]
+        for cb in typed:
+            cb.on_start(self)
+
+        def finish(reason: str) -> str:
+            for cb in typed:
+                try:
+                    cb.on_end(self)
+                except Exception:
+                    if raise_exception:
+                        raise
+            return reason
+
         while True:
             if self.is_finished():
                 reason = self.end_reason()
                 if progress:
                     print(f"### distributed task finished: {reason}")
-                return reason
+                return finish(reason)
             if timeout and time.time() - t0 > timeout:
                 self.finished("client timeout")
-                return "client timeout"
+                return finish("client timeout")
             if time.time() - last >= progress_interval:
                 last = time.time()
                 if progress:
@@ -250,9 +266,17 @@ class TaskManager:
                         f"trainer {'up' if hc['trainer']['uid'] else 'DOWN'}, "
                         f"{time.time() - t0:.0f}s)"
                     )
-                for cb in callbacks:
+                for cb in plain:
                     try:
                         cb(self)
+                    except Exception:
+                        if raise_exception:
+                            raise
+                for cb in typed:
+                    try:
+                        if cb.on_polling(self) is False:
+                            self.finished("callback stop")
+                            return finish("callback stop")
                     except Exception:
                         if raise_exception:
                             raise

@@ -177,3 +177,32 @@ def test_train_distribution_learns(kv):
         timeout=120,
     )
     assert runner.evaluate_compare_to_baseline_single_player()
+
+
+@pytest.mark.slow
+def test_distribution_callbacks_checkpoint_history(kv, tmp_path):
+    """Typed DistributionCallback hooks in train_wait (parity: distribution/
+    callbacks/{checkpoint,history_on_file}.py): interval param-board snapshots
+    load back via Runner.load_parameter; task-board history lands in jsonl."""
+    from simple_distributed_rl_tpu.runner.distribution import (
+        DistCheckpoint,
+        DistHistoryOnFile,
+    )
+
+    ck = DistCheckpoint(str(tmp_path / "ck"), interval=0.0)
+    hist = DistHistoryOnFile(str(tmp_path / "hist"), interval=0.0)
+    runner, reason = _run_distributed(
+        kv, QLConfig(), max_train_count=2_000, num_envs=32,
+        wait_callbacks=[ck, hist],
+    )
+    latest = DistCheckpoint.latest(str(tmp_path / "ck"))
+    assert latest is not None
+    r2 = srl.Runner("Grid", QLConfig(), num_envs=8, seed=9)
+    r2.load_parameter(latest)
+    assert np.abs(np.asarray(r2.algo_state.q_table)).sum() > 0
+
+    import json
+
+    recs = [json.loads(l) for l in open(tmp_path / "hist" / "history.jsonl")]
+    assert recs and recs[-1]["train_count"] >= 2_000
+    assert recs[-1]["trainer_up"] in (True, False)
