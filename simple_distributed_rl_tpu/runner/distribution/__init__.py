@@ -40,3 +40,4 @@ from .dist_callbacks import (  # noqa: F401
     DistributionCallback,
 )
 from .task_manager import TaskConfig, TaskManager  # noqa: F401
+from . import server_actor, server_trainer  # noqa: F401,E402
