@@ -386,33 +386,43 @@ class PlayEngine:
         live = jnp.logical_not(jnp.logical_or(ts.terminated, ts.truncated))
         is_main = (codes == MAIN) & live
 
+        # P == 1 fast path: the acting player is always slot 0 — XLA only sees
+        # p as a dynamic [B] array, so without this the per-(env,player) pending
+        # ops lower to batched gathers/scatters every rollout step
+        if P == 1:
+            def get_p(x):
+                return x[:, 0]
+
+            def at_p(buf, val, mask):
+                m = mask.reshape((B,) + (1,) * (val.ndim - 1))
+                return jnp.where(m, val, buf[:, 0])[:, None]
+        else:
+            def get_p(x):
+                return x[idx, p]
+
+            def at_p(buf, val, mask):
+                m = mask.reshape((B,) + (1,) * (val.ndim - 1))
+                return buf.at[idx, p].set(jnp.where(m, val, buf[idx, p]))
+
         # --- T1: acting player's previous pending completes (sees current obs)
         t1 = Transition(
-            obs=jax.tree.map(lambda x: x[idx, p][:, None], pending.obs),
-            action=jax.tree.map(lambda x: x[idx, p][:, None], pending.action),
-            reward=pending.reward[idx, p][:, None],
+            obs=jax.tree.map(lambda x: get_p(x)[:, None], pending.obs),
+            action=jax.tree.map(lambda x: get_p(x)[:, None], pending.action),
+            reward=get_p(pending.reward)[:, None],
             next_obs=jax.tree.map(lambda x: x[:, None], carry.enc_obs),
             undone=jnp.ones((B, 1), jnp.float32),
-            invalid_mask=pending.invalid[idx, p][:, None],
+            invalid_mask=get_p(pending.invalid)[:, None],
             next_invalid_mask=ts.invalid_mask[:, None],
         )
-        t1_mask = (pending.active[idx, p] & is_main)[:, None]  # [B, 1]
+        t1_mask = (get_p(pending.active) & is_main)[:, None]  # [B, 1]
 
         # --- open new pending for acting main players
-        def set_p(buf, val):
-            mask = is_main.reshape((B,) + (1,) * (val.ndim - 1))
-            return buf.at[idx, p].set(jnp.where(mask, val, buf[idx, p]))
-
         pending = PendingState(
-            obs=jax.tree.map(set_p, pending.obs, carry.enc_obs),
-            action=jax.tree.map(set_p, pending.action, a_rl),
-            reward=pending.reward.at[idx, p].set(
-                jnp.where(is_main, 0.0, pending.reward[idx, p])
-            ),
-            invalid=set_p(pending.invalid, ts.invalid_mask),
-            active=pending.active.at[idx, p].set(
-                jnp.where(is_main, True, pending.active[idx, p])
-            ),
+            obs=jax.tree.map(lambda b, v: at_p(b, v, is_main), pending.obs, carry.enc_obs),
+            action=jax.tree.map(lambda b, v: at_p(b, v, is_main), pending.action, a_rl),
+            reward=at_p(pending.reward, jnp.zeros((B,)), is_main),
+            invalid=at_p(pending.invalid, ts.invalid_mask, is_main),
+            active=at_p(pending.active, jnp.ones((B,), bool), is_main),
         )
 
         # --- env lockstep
@@ -459,7 +469,7 @@ class PlayEngine:
         if self.algo.needs_step_view:
             from ..algorithms.base import StepView
 
-            acting_reward = ts2.rewards[idx, p]  # the acting player's immediate reward
+            acting_reward = get_p(ts2.rewards)  # the acting player's immediate reward
             step_view = StepView(
                 obs=carry.enc_obs,
                 action=a_rl,
