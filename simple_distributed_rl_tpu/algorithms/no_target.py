@@ -146,23 +146,7 @@ class NoTargetDQNConfig(AlgoConfig):
         K = self._K
         idxB = jnp.arange(B)
 
-        def step_fn(carry, xs):
-            trk, trk_len, mem = carry
-            item, v, fin = xs  # Transition [B,...], [B] bool, [B] bool
-
-            # push at trk_len (valid rows only)
-            pos = jnp.clip(trk_len, 0, K - 1)
-
-            def put(buf, val):
-                cur = buf[idxB, pos]
-                m = v.reshape((B,) + (1,) * (val.ndim - 1))
-                return buf.at[idxB, pos].set(jnp.where(m, val, cur))
-
-            trk = jax.tree.map(put, trk, item)
-            trk_len = trk_len + v.astype(jnp.int32)
-
-            # flush on episode end or full window (max_discount_steps cap)
-            flush = jnp.logical_or(fin & v, trk_len >= K)
+        def ret_to_go(trk, trk_len):
             # discounted return-to-go over the window: linear recurrence
             # ret_j = r_j + gamma * ret_{j+1} within the tracked episode, solved by
             # an associative scan (exact, O(log K) depth)
@@ -178,8 +162,45 @@ class NoTargetDQNConfig(AlgoConfig):
             rets, _ = jax.lax.associative_scan(
                 comb, (r[:, ::-1], d[:, ::-1]), axis=1
             )
-            rets = rets[:, ::-1]  # [B, K] return-to-go from each position
+            return rets[:, ::-1], in_win  # [B, K] return-to-go from each position
 
+        def step_fn(carry, xs):
+            trk, trk_len, mem = carry
+            item, v, fin = xs  # Transition [B,...], [B] bool, [B] bool
+
+            # window full without episode end: emit ONLY the oldest item, whose
+            # return spans the full max_discount_steps horizon, then slide the
+            # window (parity: the reference's deque slide, dqn_not/worker.py:39-44;
+            # round-2 advisor: flushing all K truncated the newest items' horizons)
+            full = (trk_len >= K) & v
+            rets, _ = ret_to_go(trk, trk_len)
+            oldest = jax.tree.map(lambda x: x[:, 0], trk)
+            mem = self._replay.add_masked(
+                mem, NoTItem(t=oldest, total_reward=rets[:, 0]), full
+            )
+
+            def shift(buf):
+                m = full.reshape((B,) + (1,) * (buf.ndim - 1))
+                return jnp.where(m, jnp.roll(buf, -1, axis=1), buf)
+
+            trk = jax.tree.map(shift, trk)
+            trk_len = jnp.where(full, K - 1, trk_len)
+
+            # push at trk_len (valid rows only)
+            pos = jnp.clip(trk_len, 0, K - 1)
+
+            def put(buf, val):
+                cur = buf[idxB, pos]
+                m = v.reshape((B,) + (1,) * (val.ndim - 1))
+                return buf.at[idxB, pos].set(jnp.where(m, val, cur))
+
+            trk = jax.tree.map(put, trk, item)
+            trk_len = trk_len + v.astype(jnp.int32)
+
+            # flush the whole window on episode end: every item's return-to-go
+            # legitimately truncates at the terminal step
+            flush = fin & v
+            rets, in_win = ret_to_go(trk, trk_len)
             flush_rows = flush[:, None] & in_win  # [B, K]
             flat_item = jax.tree.map(
                 lambda x: x.reshape((B * K,) + x.shape[2:]),

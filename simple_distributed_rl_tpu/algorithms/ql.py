@@ -41,6 +41,11 @@ class QLConfig(AlgoConfig):
     lr_scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     discount: float = 0.9
     q_init: str = ""  # "" | "random" | "normal"  (parity: ql.py:51)
+    # apply TD updates one transition at a time in chunk order (a lax.scan) instead
+    # of the batched mean-TD scatter — reference-exact semantics (ql.py:126-127's
+    # sequential loop); the right choice at num_envs=1, e.g. the engine-in-the-loop
+    # parity harness (parity.run_engine_ql_grid)
+    exact_sequential: bool = False
 
     observation_type: RLBaseTypes = RLBaseTypes.DISCRETE
     action_type: RLBaseTypes = RLBaseTypes.DISCRETE
@@ -82,6 +87,8 @@ class QLConfig(AlgoConfig):
         (parity: ql trainer, srl/algorithms/ql.py:106-132)."""
         t, mask = self.flatten_transitions(t, mask)
         lr = self._lr_sch(state.train_count)
+        if self.exact_sequential:
+            return self._observe_sequential(state, t, mask, lr)
         n_q = state.q_table[t.next_obs]  # [N, A]
         n_q = jnp.where(t.next_invalid_mask, -jnp.inf, n_q)
         max_nq = jnp.max(n_q, axis=-1)
@@ -105,6 +112,33 @@ class QLConfig(AlgoConfig):
             cnt = jax.lax.psum(cnt, self.pmean_axis)
         mean_td = (sum_td / jnp.maximum(cnt, 1.0)).reshape(self.num_states, A)
         q = state.q_table + lr * mean_td
+        visit = state.visit.at[t.obs].add(mask.astype(jnp.int32))
+        return QLState(
+            q_table=q,
+            visit=visit,
+            train_count=state.train_count + jnp.sum(mask.astype(jnp.int32)),
+        )
+
+    def _observe_sequential(self, state: QLState, t: Transition, mask, lr) -> QLState:
+        """One-at-a-time TD updates in transition order (the exact-semantics form of
+        the reference trainer loop, ql.py:106-132: each update sees every previous
+        update's table)."""
+
+        def upd(q, x):
+            obs, action, reward, undone, next_obs, next_inv, m = x
+            n_q = jnp.where(next_inv, -jnp.inf, q[next_obs])
+            max_nq = jnp.max(n_q)
+            max_nq = jnp.where(jnp.isfinite(max_nq), max_nq, 0.0)
+            target = reward + undone * self.discount * max_nq
+            td = target - q[obs, action]
+            return q.at[obs, action].add(lr * td * m), None
+
+        q, _ = jax.lax.scan(
+            upd,
+            state.q_table,
+            (t.obs, t.action, t.reward, t.undone, t.next_obs,
+             t.next_invalid_mask, mask.astype(jnp.float32)),
+        )
         visit = state.visit.at[t.obs].add(mask.astype(jnp.int32))
         return QLState(
             q_table=q,

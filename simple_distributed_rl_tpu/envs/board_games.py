@@ -437,9 +437,38 @@ class Othello(EnvCore):
             print(" ".join(sym[int(v)] for v in row))
 
 
+class OthelloLayer(Othello):
+    """Feature-map observation variant: [H, W, 2] planes (layer0 = the acting
+    player's stones, layer1 = the opponent's) from the acting player's perspective
+    (parity: srl/envs/othello.py:421-443 OthelloLayer + its Othello*-layer
+    registrations :41-67)."""
+
+    @property
+    def observation_space(self):
+        return Box((self.size, self.size, 2), 0, 1, jnp.uint8, SpaceTypes.FEATURE_MAP)
+
+    def _ts(self, state, rewards, terminated):
+        mark = jnp.where(state.next_player == 0, 1, -1)
+        board = state.field.reshape(self.size, self.size)
+        obs = jnp.stack(
+            [(board == mark).astype(jnp.uint8), (board == -mark).astype(jnp.uint8)],
+            axis=-1,
+        )
+        return self.timestep(
+            obs,
+            rewards,
+            terminated,
+            invalid_mask=self._mask(state),
+            next_player=state.next_player,
+        )
+
+
 register("Othello", Othello, size=8)
 register("Othello6x6", Othello, size=6)
 register("Othello4x4", Othello, size=4)
+register("Othello-layer", OthelloLayer, size=8)
+register("Othello6x6-layer", OthelloLayer, size=6)
+register("Othello4x4-layer", OthelloLayer, size=4)
 
 
 # ---------------------------------------------------------------------------
@@ -545,4 +574,29 @@ class ConnectX(EnvCore):
         print(" ".join(str(c) for c in range(self.columns)))
 
 
+class ConnectXLayer(ConnectX):
+    """Feature-map observation variant: [columns, rows, 2] planes (layer0 = acting
+    player's pieces, layer1 = opponent's), matching the reference's transposed
+    layer layout (parity: srl/envs/kaggle/connectx.py:105-128 LayerProcessor +
+    the connectx-layer registration :18-30)."""
+
+    @property
+    def observation_space(self):
+        return Box((self.columns, self.rows, 2), 0, 1, jnp.uint8, SpaceTypes.FEATURE_MAP)
+
+    def _ts(self, state, rewards, terminated):
+        my = state.next_player + 1
+        board = state.board.reshape(self.rows, self.columns).T  # [columns, rows]
+        obs = jnp.stack(
+            [(board == my).astype(jnp.uint8), (board == (3 - my)).astype(jnp.uint8)],
+            axis=-1,
+        )
+        return self.timestep(
+            obs, rewards, terminated,
+            invalid_mask=self._mask(state.board),
+            next_player=state.next_player,
+        )
+
+
 register("ConnectX", ConnectX)
+register("connectx-layer", ConnectXLayer)

@@ -247,6 +247,14 @@ class AutoResetEnv:
 
         def do_reset(_):
             env_state, ts = self._noop_reset(key_reset)
+            # envs may declare state fields that survive auto-reset (cross-episode
+            # counters: procedural-generation cursors, the parity harness's
+            # injected-decision index, ...)
+            persist = getattr(self.env, "persistent_fields", ())
+            if persist:
+                env_state = env_state.replace(
+                    **{f: getattr(state.env_state, f) for f in persist}
+                )
             new = AutoResetState(
                 env_state=env_state,
                 step_num=jnp.asarray(0, jnp.int32),

@@ -99,6 +99,10 @@ def make_obs_converter(gym_space, native: Space) -> Callable[[Any], Any]:
         return lambda v: np.asarray(v, np.int32).reshape(-1)
     if isinstance(gym_space, gymnasium.spaces.Discrete):
         return lambda v: np.asarray(v, np.int32)
+    if isinstance(gym_space, gymnasium.spaces.Text):
+        # string -> charset-index int32 ids padded to max_length (the host-side
+        # twin of Text.to_jnp; round-2 advisor: np.asarray(str) raised at reset)
+        return lambda v: np.asarray(native.to_jnp(v), np.int32)
     dtype = native.dtype
     return lambda v: np.asarray(v, dtype)
 

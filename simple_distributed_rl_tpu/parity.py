@@ -29,10 +29,14 @@ def run_parity_ql_grid(
     lr: float = 0.1,
     discount: float = 0.9,
     env: Optional[Grid] = None,
+    collect: bool = False,
 ) -> Tuple[List[tuple], dict]:
     """Host-side QL-on-Grid with reference-exact semantics. Returns
     (trajectory [(state, action, reward, done), ...], Q dict keyed like the
-    reference's ``to_str`` states)."""
+    reference's ``to_str`` states). With ``collect=True`` also returns an aux dict:
+    ``moves`` (the sampled slip outcome per real env step) and ``train_stream``
+    (every Q update in the exact order applied) — the decision record that drives
+    the compiled engine in run_engine_ql_grid."""
     env = env or Grid()
     random.seed(seed)
     np.random.seed(seed)
@@ -50,9 +54,12 @@ def run_parity_ql_grid(
         # ArrayDiscreteSpace.to_str joins with ","
         return f"{pos[0]},{pos[1]}"
 
+    train_stream: List[tuple] = []
+
     def train_on(t):
         # trainer QL update (ql.py:106-132), float64 python arithmetic
         s_key, a_t, r_t, terminated_t, n_key = t
+        train_stream.append(t)
         target = r_t
         if not terminated_t:
             nq = get_q(n_key)
@@ -61,6 +68,7 @@ def run_parity_ql_grid(
         Q[s_key][a_t] += lr * td
 
     trajectory = []
+    moves: List[int] = []
     pos = None
     done = True
     steps = 0
@@ -93,6 +101,7 @@ def run_parity_ql_grid(
         ref_order = _REF_DICT_ORDER[action]
         probs = [float(probs_row[m]) for m in ref_order]
         move = ref_order[np.random.choice(len(probs), p=probs)]
+        moves.append(move)
         npos = env._move_host(pos[0], pos[1], move)
         reward, terminated = env._reward_done(npos[0], npos[1])
         steps += 1
@@ -118,6 +127,8 @@ def run_parity_ql_grid(
 
         pos = npos
 
+    if collect:
+        return trajectory, Q, {"moves": moves, "train_stream": train_stream}
     return trajectory, Q
 
 
@@ -129,6 +140,190 @@ _REF_DICT_ORDER = {
     2: [3, 1, 2, 0],  # RIGHT row
     0: [3, 1, 2, 0],  # LEFT row
 }
+
+
+# ---------------------------------------------------------------------------
+# Engine-in-the-loop parity: the SAME decision sequence (actions + env slips)
+# recorded from the host harness drives the COMPILED PlayEngine at B=1, so the
+# jitted core loop itself — pending-transition machinery, auto-reset accounting,
+# QL update path — is asserted against the reference's exact semantics
+# (matching /root/reference/srl/base/run/core_play.py:115-214 + worker_run.py:107-228).
+# ---------------------------------------------------------------------------
+
+
+def replay_q_f32(train_stream, lr: float = 0.1, discount: float = 0.9) -> dict:
+    """Fold the recorded Q-update stream with float32 arithmetic — the dtype-matched
+    expectation for the engine's float32 table (the float64 harness Q differs only
+    by accumulated rounding)."""
+    f32 = np.float32
+    Q: dict = {}
+
+    def get_q(k):
+        if k not in Q:
+            Q[k] = [f32(0.0)] * 4
+        return Q[k]
+
+    for s_key, a_t, r_t, terminated_t, n_key in train_stream:
+        target = f32(r_t)
+        if not terminated_t:
+            target = f32(target + f32(discount) * max(get_q(n_key)))
+        td = f32(target - get_q(s_key)[a_t])
+        Q[s_key][a_t] = f32(Q[s_key][a_t] + f32(lr) * td)
+    return Q
+
+
+def run_engine_ql_grid(
+    seed: int,
+    max_steps: int,
+    epsilon: float = 0.1,
+    lr: float = 0.1,
+    discount: float = 0.9,
+    chunk_steps: int = 50,
+):
+    """Run the host harness to record its decision streams, then drive the compiled
+    PlayEngine with them. Returns (harness_result, engine_result) where each carries
+    the transition stream, final Q and episode accounting, ready for exact
+    comparison (tests/test_reference_parity.py)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    from flax import struct
+
+    from .algorithms.ql import QLConfig
+    from .envs.core import TimeStep
+    from .runner.engine import PlayEngine
+
+    base_env = Grid()
+    trajectory, q64, aux = run_parity_ql_grid(
+        seed, max_steps, epsilon=epsilon, lr=lr, discount=discount,
+        env=base_env, collect=True,
+    )
+    moves = aux["moves"]
+
+    # engine-aligned action stream: one injected action per engine step; each
+    # episode end inserts one placeholder for the auto-reset step (whose policy
+    # output the engine discards by construction)
+    eng_actions: List[int] = []
+    for (_, action, _, done, _) in trajectory:
+        eng_actions.append(action)
+        if done:
+            eng_actions.append(0)
+    n_eng_steps = len(eng_actions)
+
+    # --- injected Grid: slips replayed from the harness's move record ----------
+    @struct.dataclass
+    class _PGState:
+        pos: jax.Array
+        t: jax.Array  # global real-step cursor; survives auto-reset
+
+    inj_moves = jnp.asarray(np.asarray(moves + [0], np.int32))
+
+    class _ParityGrid(Grid):
+        persistent_fields = ("t",)
+
+        def reset(self, key):
+            state = _PGState(pos=self._starts_dev[0], t=jnp.asarray(0, jnp.int32))
+            return state, self.timestep(self._obs(state))
+
+        def step(self, state, action, key):
+            move = inj_moves[jnp.minimum(state.t, len(moves))]
+            new_pos = self._move_tbl[(state.pos[1] * self.W + state.pos[0]) * 4 + move]
+            cell = self._field_dev[new_pos[1] * self.W + new_pos[0]]
+            reward = jnp.where(
+                cell == 1, self.goal_reward,
+                jnp.where(cell == -1, self.hole_reward, self.move_reward),
+            )
+            terminated = jnp.logical_or(cell == 1, cell == -1)
+            new_state = _PGState(pos=new_pos, t=state.t + 1)
+            return new_state, self.timestep(self._obs(new_state), reward, terminated)
+
+    # --- injected QL: actions replayed from the harness's decision record ------
+    inj_actions = jnp.asarray(np.asarray(eng_actions, np.int32))
+
+    @_dc.dataclass
+    class _InjectedQL(QLConfig):
+        def policy(self, state, obs, invalid_mask, ctx, key):
+            return inj_actions[jnp.minimum(ctx.step, n_eng_steps - 1)][None]
+
+    env = _ParityGrid()
+    algo = _InjectedQL(lr=lr, discount=discount, exact_sequential=True)
+    algo.setup(env)
+    engine = PlayEngine(env, algo, num_envs=1)
+    carry = engine.init(jax.random.PRNGKey(seed))
+
+    # one collect pass records the raw transition stream (the policy ignores the
+    # Q table, so collection and training see identical trajectories); the engine
+    # must run EXACTLY n_eng_steps — a trailing remainder chunk handles the tail
+    # so no junk steps pollute the Q table
+    chunk_steps = min(chunk_steps, n_eng_steps)
+    rem = n_eng_steps % chunk_steps
+    plan = [chunk_steps] * (n_eng_steps // chunk_steps) + ([rem] if rem else [])
+    fns = {
+        n: (engine.build_collect_chunk(n), engine.build_chunk(n, training=True))
+        for n in sorted(set(plan))
+    }
+    stream: List[tuple] = []
+    train_carry = carry
+    for n in plan:
+        collect, train = fns[n]
+        carry, (transitions, mask, _sv) = collect(carry)
+        t_np = jax.tree.map(np.asarray, transitions)
+        m_np = np.asarray(mask)  # [T, slots]
+        for ti in range(m_np.shape[0]):
+            for si in range(m_np.shape[1]):
+                if m_np[ti, si]:
+                    stream.append(
+                        (
+                            int(t_np.obs[ti, si]),
+                            int(t_np.action[ti, si]),
+                            float(t_np.reward[ti, si]),
+                            bool(t_np.undone[ti, si] == 0.0),
+                            int(t_np.next_obs[ti, si]),
+                        )
+                    )
+        train_carry, _ = train(train_carry)
+
+    def to_idx(key_str: str) -> int:
+        x, y = (int(v) for v in key_str.split(","))
+        return int(np.asarray(algo.obs_encoder.encode(jnp.asarray([x, y]))))
+
+    harness = {
+        "train_stream": [
+            (to_idx(s), a, r, term, to_idx(n))
+            for (s, a, r, term, n) in aux["train_stream"]
+        ],
+        "q_f32": {
+            to_idx(k): v
+            for k, v in replay_q_f32(aux["train_stream"], lr, discount).items()
+        },
+        "episode_count": sum(1 for t in trajectory if t[3]),
+        "episode_rewards": [
+            sum(x[2] for x in ep)
+            for ep in _split_episodes(trajectory)
+            if ep[-1][3]
+        ],
+    }
+    q_np = np.asarray(train_carry.algo_state.q_table)
+    engine_res = {
+        "train_stream": stream,
+        "q_table": q_np,
+        "episode_count": int(train_carry.episode_count),
+        "episode_reward_sum": float(train_carry.episode_reward_sum[0]),
+    }
+    return harness, engine_res
+
+
+def _split_episodes(trajectory):
+    eps, cur = [], []
+    for t in trajectory:
+        cur.append(t)
+        if t[3]:
+            eps.append(cur)
+            cur = []
+    if cur:
+        eps.append(cur)
+    return eps
 
 
 def run_reference_ql_grid(seed: int, max_steps: int):

@@ -346,11 +346,19 @@ class PlayEngine:
                     octx, k_o, carry.env_state.step_num == 0,
                 )
                 a_o_rl, opp_actor = out[0], out[1]  # trailing algo-state ignored (frozen)
-                # advance the recurrent state only on the opponent's own turns
+                # advance the recurrent state only on the opponent's own turns; on
+                # episode start that is NOT the opponent's turn, reset to the init
+                # state so the previous episode's hidden never leaks (the in-call
+                # episode_start reset would otherwise be discarded by the take mask
+                # whenever player 0 moves first — round-2 advisor finding)
                 take = codes == code
+                episode_start = carry.env_state.step_num == 0
+                init_st = opp_cfg.init_actor_state(
+                    jax.random.PRNGKey(98_000 + (code - OPP0)), B
+                )
                 opp_actor_states[code - OPP0] = jax.tree.map(
-                    lambda new, old: sel(new, old, take),
-                    opp_actor, opp_actor_states[code - OPP0],
+                    lambda new, old, ini: sel(new, sel(ini, old, episode_start), take),
+                    opp_actor, opp_actor_states[code - OPP0], init_st,
                 )
             else:
                 a_o_rl = opp_cfg.policy(opp_state, enc_o, ts.invalid_mask, octx, k_o)
@@ -578,12 +586,24 @@ class PlayEngine:
         return jax.jit(collect)
 
     # ------------------------------------------------------------------
-    def build_eval(self, num_episodes: int, max_steps: Optional[int] = None):
-        """Jitted evaluation: run ``num_episodes`` envs until each finishes one episode
-        (fixed-length scan), return per-player mean episode reward. Parity:
-        Runner.evaluate / evaluate_compare_to_baseline (runner/runner.py:724,1357)."""
+    def build_eval(
+        self,
+        num_episodes: int,
+        max_steps: Optional[int] = None,
+        chunk_steps: int = 32,
+    ):
+        """Jitted evaluation: run ``num_episodes`` envs until each finishes one episode,
+        return per-player mean episode reward. Parity: Runner.evaluate /
+        evaluate_compare_to_baseline (runner/runner.py:724,1357).
+
+        TPU-idiomatic early exit: a lax.while_loop over ``chunk_steps``-long scans
+        stops as soon as every env has recorded an episode, so long-horizon envs
+        (gym adapters, 1000-step caps) whose episodes end early don't pay the full
+        worst-case scan; the step budget stays bounded by max_episode_steps."""
         B = int(num_episodes)
         steps = int(max_steps or (self.aenv.max_episode_steps * max(1, self.P) + 2))
+        chunk = max(1, min(int(chunk_steps), steps))
+        n_chunks_cap = -(-steps // chunk)  # ceil
         eval_engine = PlayEngine(
             self.env, self.algo, B, players=None, max_episode_steps=self.aenv.max_episode_steps
         )
@@ -607,8 +627,21 @@ class PlayEngine:
                 recorded = recorded | done
                 return (new_carry, recorded, rewards), None
 
-            (carry, recorded, rewards), _ = jax.lax.scan(
-                body, (carry, recorded, rewards), None, length=steps
+            def chunk_body(loop_state):
+                (carry, recorded, rewards), i = loop_state
+                out, _ = jax.lax.scan(
+                    body, (carry, recorded, rewards), None, length=chunk
+                )
+                return out, i + 1
+
+            def cond(loop_state):
+                (_, recorded, _), i = loop_state
+                return jnp.logical_and(
+                    jnp.logical_not(jnp.all(recorded)), i < n_chunks_cap
+                )
+
+            (carry, recorded, rewards), _ = jax.lax.while_loop(
+                cond, chunk_body, ((carry, recorded, rewards), jnp.asarray(0, jnp.int32))
             )
             return jnp.mean(rewards, axis=0), jnp.all(recorded)
 

@@ -354,15 +354,95 @@ class Runner:
         mem = jax.tree.map(jnp.asarray, mem)
         self._carry = self.carry.replace(algo_state=self.algo_state.replace(memory=mem))
 
-    def rollout(self, max_steps: int, chunk_steps: int = 32) -> Dict[str, Any]:
+    def memory_size(self) -> int:
+        """Live replay size (parity: RLMemory.length, srl/base/rl/memory.py)."""
+        mem = getattr(self.algo_state, "memory", None)
+        assert mem is not None, f"{self.algo.get_name()} has no memory"
+        size = getattr(mem, "size", None)
+        assert size is not None, "memory state exposes no .size"
+        return int(size)
+
+    def rollout(
+        self,
+        max_steps: Optional[int] = None,
+        max_memory: Optional[int] = None,
+        chunk_steps: int = 32,
+    ) -> Dict[str, Any]:
         """Collect experience without training (parity: Runner.rollout,
-        runner/runner.py:185)."""
+        srl/runner/runner.py:185 — supports both ``max_steps`` and the reference's
+        ``max_memory`` stop condition)."""
+        assert max_steps or max_memory, "need a stop condition"
+        required = getattr(self.algo, "required_chunk_steps", None)
+        if required is not None:
+            chunk_steps = required
         fn = self.engine.build_chunk(chunk_steps, 0, training=True)
         carry = self.carry
-        while int(carry.env_steps) < max_steps:
+        while True:
+            if max_steps and int(carry.env_steps) >= max_steps:
+                break
+            if max_memory:
+                self._carry = carry
+                if self.memory_size() >= max_memory:
+                    break
             carry, _ = fn(carry)
         self._carry = carry
-        return {"env_steps": int(carry.env_steps)}
+        out = {"env_steps": int(carry.env_steps)}
+        if max_memory:
+            out["memory_size"] = self.memory_size()
+        return out
+
+    def train_only(
+        self,
+        max_train_count: Optional[int] = None,
+        timeout: Optional[float] = None,
+        train_steps_per_call: int = 32,
+        callbacks: Optional[List[RunCallback]] = None,
+        progress: bool = True,
+    ) -> Dict[str, Any]:
+        """Train from the existing replay memory without collecting new experience
+        (parity: Runner.train_only, srl/runner/runner.py:254 +
+        base/run/core_train_only.py:12). The jitted step is rebuilt per call so
+        config-flag mutations between stages (e.g. DIAMOND's
+        train_diffusion/train_reward_end/train_actor_critic staged recipe,
+        /root/reference/tests/algorithms_/base_diamond.py:53-77) take effect."""
+        assert max_train_count or timeout, "need a stop condition"
+        from functools import partial
+
+        train_fn = jax.jit(partial(self.algo.train, num_steps=train_steps_per_call))
+        callbacks = list(callbacks or [])
+        if self._history_cb is not None:
+            callbacks.append(self._history_cb)
+        if progress:
+            callbacks.append(PrintProgress())
+        for c in callbacks:
+            c.on_start(self)
+        t0 = time.time()
+        carry = self.carry
+        key = jax.random.fold_in(carry.key, 0x7FA1)
+        tc0 = int(carry.algo_state.train_count)
+        stats: Dict[str, Any] = {}
+        while True:
+            key, k = jax.random.split(key)
+            algo_state, metrics = train_fn(carry.algo_state, k)
+            carry = carry.replace(algo_state=algo_state)
+            self._carry = carry
+            stats = {"elapsed": time.time() - t0, "env_steps": int(carry.env_steps)}
+            for k2, v in metrics.items():
+                stats[k2] = float(np.asarray(v))
+            stop = False
+            for c in callbacks:
+                if c.on_chunk_end(self, stats) is False:
+                    stop = True
+            done_trains = int(carry.algo_state.train_count) - tc0
+            if max_train_count and done_trains >= max_train_count:
+                stop = True
+            if timeout and stats["elapsed"] >= timeout:
+                stop = True
+            if stop:
+                break
+        for c in callbacks:
+            c.on_end(self)
+        return stats
 
     # --- evaluation -------------------------------------------------------
     def evaluate(

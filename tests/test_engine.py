@@ -160,3 +160,35 @@ def test_eval_runs():
     assert rewards.shape == (1,)
     assert bool(complete)
     assert -2.5 <= float(rewards[0]) <= 1.0
+
+
+def test_eval_early_exit():
+    """build_eval's while-loop stops once every env recorded an episode, so a
+    long-horizon env (CartPole cap 500) with short episodes pays ~episode-length
+    steps, not the worst-case scan (round-2 VERDICT item 9)."""
+    import time
+
+    from simple_distributed_rl_tpu.algorithms import DQNConfig
+
+    r = srl.Runner("CartPole-v1", DQNConfig(), num_envs=4, seed=1)
+    fast = r.engine.build_eval(32)  # chunked, early exit
+    slow = r.engine.build_eval(32, chunk_steps=10_000)  # one full-cap chunk
+
+    def med(fn):
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            out = fn(r.algo_state, jax.random.PRNGKey(i))
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    med(fast), med(slow)  # warmup/compile both
+    t_fast, t_slow = med(fast), med(slow)
+    # untrained policy dies in ~10-30 steps; full scan is 502 steps
+    assert t_fast < t_slow / 3, (t_fast, t_slow)
+
+    # incomplete episodes are still reported (complete=False), never silent zeros
+    never_done = r.engine.build_eval(8, max_steps=3)
+    _, complete = never_done(r.algo_state, jax.random.PRNGKey(9))
+    assert not bool(complete)

@@ -29,8 +29,38 @@ def rollout_random(env, key, steps=200):
 def test_registry():
     ids = srl.envs.registered_ids()
     for expect in ["Grid", "EasyGrid", "GridOneRoad", "OX", "OneRoad", "IGrid", "Tiger",
-                   "StoneTaking", "Othello", "CartPole-v1", "Pendulum-v1"]:
+                   "StoneTaking", "Othello", "CartPole-v1", "Pendulum-v1",
+                   "Othello-layer", "Othello6x6-layer", "Othello4x4-layer",
+                   "connectx-layer"]:
         assert expect in ids, expect
+    # 26 native ids (+2 kaggle_* when kaggle_environments is installed)
+    assert len(ids) >= 26
+
+
+def test_check_env_all_registered():
+    """Every built-in id passes the public env contract checker (parity: the
+    reference validates its envs via srl.test.env_test; registration list
+    srl/envs/grid.py:22-81, othello.py:22-67, kaggle/connectx.py:18-30)."""
+    from simple_distributed_rl_tpu import testing
+
+    for env_id in srl.envs.registered_ids():
+        testing.check_env(make(env_id), steps=40)
+
+
+def test_layer_variant_observations():
+    """Layer obs are perspective-dependent 2-plane feature maps
+    (srl/envs/othello.py:421-443; kaggle/connectx.py:105-128)."""
+    env = make("Othello4x4-layer")
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    assert ts.obs.shape == (4, 4, 2) and ts.obs.dtype == jnp.uint8
+    # initial board: 2 stones each, from P1 perspective
+    assert int(ts.obs[..., 0].sum()) == 2 and int(ts.obs[..., 1].sum()) == 2
+    env2 = make("connectx-layer")
+    s2, ts2 = env2.reset(jax.random.PRNGKey(1))
+    assert ts2.obs.shape == (7, 6, 2)
+    # first move: P2's view must show P1's piece on the ENEMY plane
+    s3, ts3 = env2.step(s2, jnp.asarray(3), jax.random.PRNGKey(2))
+    assert int(ts3.obs[..., 1].sum()) == 1 and int(ts3.obs[..., 0].sum()) == 0
 
 
 def test_grid_reaches_terminal():
