@@ -13,8 +13,28 @@ import time
 import jax
 
 
+# peak numbers for MFU / bandwidth accounting (TPU v5e datasheet: 197 TFLOP/s
+# bf16 per chip, 16 GB HBM2 @ 819 GB/s)
+_PEAKS = {"tpu": {"flops_bf16": 197e12, "hbm_gbps": 819.0}}
+
+
+def _cost_analysis(jit_fn, *args):
+    """XLA's own per-call cost model (flops + bytes accessed) for a jitted fn —
+    the source for the MFU/HBM-BW numbers, no hand-derived FLOP counts."""
+    try:
+        ca = jit_fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
+        }
+    except Exception as e:  # backend without cost analysis
+        return {"error": str(e)[:200]}
+
+
 def bench_workload(env_id, cfg, num_envs, chunk_steps, train_steps,
-                   warm_chunks=3, bench_chunks=20, chunks_per_call=1):
+                   warm_chunks=3, bench_chunks=20, chunks_per_call=1, label=None):
     import simple_distributed_rl_tpu as srl
 
     runner = srl.Runner(env_id, cfg, num_envs=num_envs, seed=0)
@@ -35,8 +55,8 @@ def bench_workload(env_id, cfg, num_envs, chunk_steps, train_steps,
     dt = time.perf_counter() - t0
 
     steps = bench_chunks * chunk_steps * num_envs * chunks_per_call
-    return {
-        "env": env_id,
+    out = {
+        "env": label or (env_id if isinstance(env_id, str) else type(env_id).__name__),
         "num_envs": num_envs,
         "chunk_steps": chunk_steps,
         "train_steps_per_chunk": train_steps,
@@ -46,6 +66,74 @@ def bench_workload(env_id, cfg, num_envs, chunk_steps, train_steps,
             bench_chunks * train_steps * chunks_per_call / dt, 1),
         "warmup_and_compile_s": round(compile_s, 1),
     }
+    ca = _cost_analysis(chunk_fn, carry)
+    if "flops" in ca:
+        calls_per_sec = bench_chunks / dt
+        achieved_flops = ca["flops"] * calls_per_sec
+        achieved_bw = ca["bytes_accessed"] * calls_per_sec
+        out["xla_flops_per_call"] = ca["flops"]
+        out["xla_bytes_per_call"] = ca["bytes_accessed"]
+        out["achieved_tflops"] = round(achieved_flops / 1e12, 3)
+        out["achieved_hbm_gbps"] = round(achieved_bw / 1e9, 1)
+        peak = _PEAKS.get(jax.devices()[0].platform)
+        if peak:
+            out["mfu_vs_bf16_peak"] = round(achieved_flops / peak["flops_bf16"], 4)
+            out["hbm_bw_util"] = round(achieved_bw / (peak["hbm_gbps"] * 1e9), 4)
+    else:
+        out["cost_analysis_error"] = ca.get("error")
+    return out
+
+
+def make_pixels_env(h=84, w=84):
+    """Synthetic 84x84 image env for the MXU-bound workload (the shape of the
+    reference's Atari DQN capability, srl/algorithms/dqn/dqn.py:89-102 — ALE is
+    not in this image, so the pixels are procedural; the compute path — dqn CNN
+    input block, frame stack, replay, target net — is the real one)."""
+    import jax.numpy as jnp
+    from flax import struct
+
+    from simple_distributed_rl_tpu.define import SpaceTypes
+    from simple_distributed_rl_tpu.envs.core import EnvCore
+    from simple_distributed_rl_tpu.spaces import Box, Discrete
+
+    @struct.dataclass
+    class PixState:
+        t: jax.Array
+        pos: jax.Array  # [2]
+
+    class SyntheticPixels(EnvCore):
+        @property
+        def action_space(self):
+            return Discrete(4)
+
+        @property
+        def observation_space(self):
+            return Box((h, w, 1), 0, 255, jnp.uint8, SpaceTypes.GRAY_3ch)
+
+        @property
+        def max_episode_steps(self):
+            return 200
+
+        def _obs(self, s):
+            yy = jnp.arange(h)[:, None]
+            xx = jnp.arange(w)[None, :]
+            img = ((yy + xx + s.t) % 255).astype(jnp.uint8)
+            blob = ((jnp.abs(yy - s.pos[0]) < 4) & (jnp.abs(xx - s.pos[1]) < 4))
+            return jnp.where(blob, 255, img)[..., None].astype(jnp.uint8)
+
+        def reset(self, key):
+            s = PixState(t=jnp.asarray(0, jnp.int32),
+                         pos=jax.random.randint(key, (2,), 10, h - 10))
+            return s, self.timestep(self._obs(s))
+
+        def step(self, state, action, key):
+            d = jnp.asarray([[0, -2], [2, 0], [0, 2], [-2, 0]], jnp.int32)[action]
+            pos = jnp.clip(state.pos + d, 4, h - 4)
+            s = PixState(t=state.t + 1, pos=pos)
+            reward = jnp.where(jnp.all(pos == h // 2), 1.0, 0.0)
+            return s, self.timestep(self._obs(s), reward, jnp.asarray(False))
+
+    return SyntheticPixels()
 
 
 def main():
@@ -71,6 +159,18 @@ def main():
     cart = bench_workload("CartPole-v1", dqn_cfg(), num_envs=8192, chunk_steps=64,
                           train_steps=64)
     details["workloads"].append(cart)
+
+    # MXU-bound workload: Atari-shaped DQN (84x84 gray, 4-frame stack, Nature CNN
+    # + (512,) head) on a synthetic pixel env — the image-observation capability
+    # the reference runs on ALE (dqn/dqn.py:89-102). batch 512 keeps the MXU fed.
+    cnn_cfg = DQNConfig(hidden_sizes=(512,), batch_size=512, discount=0.99,
+                        window_length=4, target_model_update_interval=2_000)
+    cnn_cfg.input_block.set_dqn_block()
+    cnn_cfg.memory.capacity = 16_384
+    cnn_cfg.memory.warmup_size = 1_024
+    px = bench_workload(make_pixels_env(), cnn_cfg, num_envs=256, chunk_steps=32,
+                        train_steps=32, bench_chunks=10, label="SyntheticPixels84")
+    details["workloads"].append(px)
 
     # chunks_per_call amortization variant (CPU/TPU; the axon remote compiler
     # handles >1 pathologically on some program shapes — keep it last so the

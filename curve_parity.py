@@ -37,6 +37,26 @@ def run_reference(algo: str, env: str, checkpoints, seed: int):
         cfg.hidden_block.set((64, 64))
         cfg.multisteps = 3
         cfg.set_torch()
+    elif algo == "Agent57_light":
+        # the reference's own long-test config (base_agent57_light.py:33-46)
+        from srl.algorithms import agent57_light
+
+        cfg = agent57_light.Config(
+            target_model_update_interval=100, lr_ext=0.001, lr_int=0.001,
+            actor_num=2, input_ext_reward=False, input_int_reward=False,
+            input_action=False, enable_intrinsic_reward=True,
+        )
+        cfg.hidden_block.set_dueling_network((64, 64))
+        cfg.memory.set_replay_buffer()
+        cfg.set_torch()
+    elif algo == "PPO_V":
+        # base_ppo_v.py:38-48 (torch backend)
+        from srl.algorithms import ppo_v
+
+        cfg = ppo_v.Config(batch_size=64, discount=0.9)
+        cfg.set_model(64)
+        cfg.memory.warmup_size = 1000
+        cfg.memory.compress = False
     else:
         raise ValueError(algo)
     r = srl.Runner(env, cfg)
@@ -71,6 +91,20 @@ def run_ours(algo: str, env: str, checkpoints, seed: int):
         cfg.memory.capacity = 10_000
         cfg.memory.warmup_size = 1000
         num_envs = 64
+    elif algo == "Agent57_light":
+        from simple_distributed_rl_tpu.algorithms import Agent57LightConfig
+
+        cfg = Agent57LightConfig(
+            target_model_update_interval=100, lr_ext=1e-3, lr_int=1e-3,
+            actor_num=2, enable_intrinsic_reward=True, hidden_sizes=(64, 64),
+        )
+        cfg.memory.kind = "uniform"
+        num_envs = 64
+    elif algo == "PPO_V":
+        from simple_distributed_rl_tpu.algorithms import PPOVConfig
+
+        cfg = PPOVConfig(batch_size=64, discount=0.9, hidden_sizes=(64, 64))
+        num_envs = 64
     else:
         raise ValueError(algo)
     r = srl2.Runner(env, cfg, num_envs=num_envs, seed=seed)
@@ -93,6 +127,10 @@ WORKLOADS = {
     "QL/Grid": ("QL", "Grid", [25_000, 50_000, 100_000], 0.65),
     "DQN/Pendulum-v1": ("DQN", "Pendulum-v1", [5_000, 10_000, 20_000], -500.0),
     "Rainbow/Pendulum-v1": ("Rainbow", "Pendulum-v1", [5_000, 14_000], -500.0),
+    # both have torch backends in the reference (agent57_light/model_torch.py,
+    # ppo_v/torch_model.py); budgets from base_agent57_light.py / base_ppo_v.py
+    "Agent57_light/Pendulum-v1": ("Agent57_light", "Pendulum-v1", [5_000, 10_000], -500.0),
+    "PPO_V/EasyGrid": ("PPO_V", "EasyGrid", [2_000, 5_000], 0.9),
 }
 
 

@@ -154,7 +154,15 @@ class AlgoConfig:
             )
         self.action_encoder: Encoder = env.action_space.encoder(self.action_type, role="action")
         self.action_space: Space = self.action_encoder.space
-        self.num_actions: int = env.num_actions
+        # the algorithm acts in the ENCODED action space: a continuous env under a
+        # DISCRETE-action algorithm discretizes to Discrete(division) — heads must
+        # size to that, not to the env's raw action count (which is 1 for Box
+        # actions; round-3 finding: GoDQ/A57 Q-heads built with A=1 on Pendulum)
+        self.num_actions: int = (
+            self.action_space.n
+            if isinstance(self.action_space, DiscreteSpace)
+            else env.num_actions
+        )
 
         # frame stacking: env-space -> per-step encode -> stack -> re-encode, same
         # order as the reference (encode then stack, srl/base/rl/config.py:338-343)

@@ -274,6 +274,35 @@ class DQNConfig(AlgoConfig):
         }
         return state, metrics
 
+    def train_on_batch(
+        self, state: DQNState, batch: Transition, weights: Array, key: Array
+    ) -> Tuple[DQNState, Array, Array]:
+        """One gradient step on an EXPLICITLY provided batch — the entry point for
+        host-side replay (the distribution trainer's C++ sum-tree PER ingest path,
+        ops/host_per.py; parity: the reference trainer consuming batches the memory
+        process prefetched, play_mp_memory.py:361-423). Returns
+        (state, |td_error| for priority write-back, loss)."""
+        grads, td_error = jax.grad(self._loss, has_aux=True)(
+            state.params, state.target_params, batch, weights
+        )
+        if self.pmean_axis is not None:
+            grads = jax.lax.pmean(grads, self.pmean_axis)
+        updates, opt_state = self._tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        train_count = state.train_count + 1
+        sync = (train_count % self.target_model_update_interval) == 0
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(sync, p, t), state.target_params, params
+        )
+        new_st = DQNState(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            memory=state.memory,
+            train_count=train_count,
+        )
+        return new_st, jnp.abs(td_error), jnp.mean(jnp.square(td_error))
+
     # ------------------------------------------------------------------
     def params_of(self, state: DQNState):
         return {"params": state.params, "target_params": state.target_params}

@@ -236,7 +236,9 @@ class GoDQNConfig(AlgoConfig):
         new_mode_go = jnp.where(
             jax.random.uniform(k_mode, (B,)) < 0.5, MODE_GO_RANDOM, MODE_GO_ACTION
         )
-        rand_logits = jnp.where(invalid_mask, -jnp.inf, 0.0)
+        rand_logits = jnp.where(  # width = ENCODED action space, mask broadcasts up
+            invalid_mask, -jnp.inf, jnp.zeros((invalid_mask.shape[0], self.num_actions))
+        )
         fresh_go_action = jax.random.categorical(k_goact, rand_logits, -1).astype(jnp.int32)
         mode = jnp.where(begin, jnp.where(is_go, new_mode_go, MODE_DQN), actor.mode)
         go_action = jnp.where(begin, fresh_go_action, actor.go_action)

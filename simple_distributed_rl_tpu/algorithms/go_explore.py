@@ -198,7 +198,9 @@ class GoExploreConfig(AlgoConfig):
         a_greedy = funcs.epsilon_greedy(q, invalid_mask, eps, k1)
         # during training, sticky random exploration (action_change_rate)
         change = jax.random.uniform(k2, (B,)) < self.action_change_rate
-        rand_logits = jnp.where(invalid_mask, -jnp.inf, 0.0)
+        rand_logits = jnp.where(  # width = ENCODED action space, mask broadcasts up
+            invalid_mask, -jnp.inf, jnp.zeros((invalid_mask.shape[0], self.num_actions))
+        )
         a_rand = jax.random.categorical(k3, rand_logits, -1).astype(jnp.int32)
         sticky = jnp.where(change, a_rand, actor.prev_action)
         # invalid sticky actions re-roll

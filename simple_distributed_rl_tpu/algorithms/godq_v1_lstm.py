@@ -330,7 +330,9 @@ class GoDQv1LstmConfig(AlgoConfig):
         new_mode = jnp.where(ctx.training, train_mode, eval_mode)
         mode = jnp.where(episode_start, new_mode, actor.mode)
 
-        rand_logits = jnp.where(invalid_mask, -jnp.inf, 0.0)
+        rand_logits = jnp.where(  # width = ENCODED action space, mask broadcasts up
+            invalid_mask, -jnp.inf, jnp.zeros((invalid_mask.shape[0], self.num_actions))
+        )
         fresh_go = jax.random.categorical(keys[0], rand_logits, -1).astype(jnp.int32)
         go_action = jnp.where(episode_start, fresh_go, actor.go_action)
         reroll = jax.random.uniform(keys[1], (B,)) < 0.1

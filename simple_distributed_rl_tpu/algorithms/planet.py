@@ -106,7 +106,9 @@ class PlaNetConfig(DreamerV3Config):
 
         first = jnp.where(invalid_mask, 0.0, probs[:, 0])
         greedy = jnp.argmax(first, axis=-1).astype(jnp.int32)
-        rand_logits = jnp.where(invalid_mask, -jnp.inf, 0.0)
+        rand_logits = jnp.where(  # width = ENCODED action space, mask broadcasts up
+            invalid_mask, -jnp.inf, jnp.zeros((invalid_mask.shape[0], self.num_actions))
+        )
         a_rand = jax.random.categorical(k4, rand_logits, -1).astype(jnp.int32)
         explore = jnp.logical_and(
             ctx.training, jax.random.uniform(k4, (B,)) < self.epsilon

@@ -129,9 +129,13 @@ class PPOVConfig(AlgoConfig):
         lp = jax.nn.log_softmax(logits, -1)
         a_pi = jax.random.categorical(k1, logits, -1).astype(jnp.int32)
         # epsilon mixing to uniform behavior (torch_model.py:193-199)
-        rand_logits = jnp.where(invalid_mask, -jnp.inf, 0.0)
+        rand_logits = jnp.where(  # width = ENCODED action space, mask broadcasts up
+            invalid_mask, -jnp.inf, jnp.zeros((invalid_mask.shape[0], self.num_actions))
+        )
         a_rand = jax.random.categorical(k2, rand_logits, -1).astype(jnp.int32)
-        n_valid = jnp.sum(jnp.logical_not(invalid_mask), -1).astype(jnp.float32)
+        n_valid = jnp.sum(
+            jnp.broadcast_to(jnp.logical_not(invalid_mask), rand_logits.shape), -1
+        ).astype(jnp.float32)
         explore = jax.random.uniform(k3, (B,)) < self.epsilon
         eps = jnp.where(ctx.training, self.epsilon, self.test_epsilon)
         explore = jnp.logical_and(explore, ctx.training)

@@ -21,6 +21,8 @@ from .task_manager import TaskConfig, TaskManager
 
 
 def _run_trainer(tm: TaskManager, tc: TaskConfig, verbose: bool = True) -> None:
+    if tc.use_host_per:
+        return _run_trainer_host_per(tm, tc, verbose)
     runner = tc.make_runner(actor_id=0)
     algo = runner.algo
     state = runner.algo_state
@@ -80,6 +82,104 @@ def _run_trainer(tm: TaskManager, tc: TaskConfig, verbose: bool = True) -> None:
         tm.finished(f"trainer: {end_reason}")
     if verbose:
         print(f"trainer done: {end_reason} (train_count={train_count:,})")
+    tm.c.set("task:trainer", "")
+
+
+def _run_trainer_host_per(tm: TaskManager, tc: TaskConfig, verbose: bool = True) -> None:
+    """Trainer learn loop with HOST-side prioritized replay: incoming experience
+    chunks are split into transitions and inserted into the C++ sum-tree at max
+    priority; batches are drawn by prefix-sum sampling with beta-annealed IS
+    weights and the |td| written back after every update. This is the TPU-native
+    wiring of the reference's native ProportionalMemory living in the trainer/
+    memory process (srl/rl/memories/priority_memories/cpp_module/
+    proportional_memory.cpp + play_mp_memory.py:253-350)."""
+    import numpy as np
+
+    from ...ops.host_per import HostProportionalMemory
+
+    runner = tc.make_runner(actor_id=0)
+    algo = runner.algo
+    assert hasattr(algo, "train_on_batch"), (
+        f"{algo.get_name()} has no train_on_batch — host PER needs an explicit-"
+        "batch trainer entry point (use the device replay path instead)"
+    )
+    state = runner.algo_state
+
+    payload, _ = tm.read_parameter()
+    if payload is not None:
+        params = jax.tree.map(jnp.asarray, loads(payload))
+        state = algo.restore_params(state, params)
+
+    per = HostProportionalMemory(
+        capacity=tc.host_per_capacity,
+        alpha=tc.host_per_alpha,
+        beta_initial=tc.host_per_beta_initial,
+        beta_steps=tc.host_per_beta_steps,
+        seed=tc.seed,
+    )
+    train_step = jax.jit(algo.train_on_batch)
+    treedef = None
+    warmup = max(tc.host_per_batch_size, getattr(algo.memory, "warmup_size", 1))
+
+    key = jax.random.PRNGKey(tc.seed + 104729)
+    t0 = time.time()
+    train_count = 0
+    last_send = 0.0
+    end_reason = ""
+    while True:
+        if tm.is_finished():
+            end_reason = tm.end_reason() or "client stop"
+            break
+        if tc.max_train_count and train_count >= tc.max_train_count:
+            end_reason = "max_train_count"
+            break
+        if tc.timeout and time.time() - t0 >= tc.timeout:
+            end_reason = "timeout"
+            break
+
+        item = tm.c.memory_recv()
+        progressed = False
+        if item is not None:
+            transitions, masks, _sv = loads(item)
+            leaves, treedef = jax.tree_util.tree_flatten(
+                jax.tree.map(np.asarray, transitions)
+            )
+            m = np.asarray(masks)
+            idx = np.argwhere(m)
+            per.add_batch([tuple(l[t, s] for l in leaves) for t, s in idx])
+            progressed = True
+
+        if per.length() >= warmup and treedef is not None:
+            for _ in range(tc.trainer_train_steps):
+                items, weights, slots = per.sample(tc.host_per_batch_size, train_count)
+                batch = jax.tree_util.tree_unflatten(
+                    treedef,
+                    [np.stack([it[i] for it in items]) for i in range(len(items[0]))],
+                )
+                key, k = jax.random.split(key)
+                state, td_abs, _loss = train_step(
+                    state, batch, jnp.asarray(weights), k
+                )
+                per.update(slots, np.asarray(td_abs, np.float64))
+                train_count += 1
+            progressed = True
+        if not progressed:
+            time.sleep(0.02)
+
+        now = time.time()
+        if now - last_send >= tc.trainer_parameter_send_interval:
+            last_send = now
+            tm.write_parameter(dumps(jax.device_get(algo.params_of(state))))
+            tm.set_train_count(train_count)
+            tm.keepalive_trainer()
+
+    tm.write_parameter(dumps(jax.device_get(algo.params_of(state))))
+    tm.set_train_count(train_count)
+    if not tm.is_finished():
+        tm.finished(f"trainer: {end_reason}")
+    if verbose:
+        print(f"trainer done (host PER): {end_reason} (train_count={train_count:,}, "
+              f"memory={per.length():,})")
     tm.c.set("task:trainer", "")
 
 

@@ -41,6 +41,16 @@ class TaskConfig:
     # backpressure: actors pause when the queue is deeper than this (parity:
     # memory queue capacity in play_mp_memory.py)
     memory_queue_capacity: int = 64
+    # host-side prioritized replay in the trainer daemon via the C++ sum-tree
+    # (ops/host_per.py; parity: memory.set_proportional_cpp, the reference's
+    # pybind11 ProportionalMemory living in the memory/trainer process). Requires
+    # the algorithm to expose train_on_batch (DQN family).
+    use_host_per: bool = False
+    host_per_alpha: float = 0.6
+    host_per_beta_initial: float = 0.4
+    host_per_beta_steps: int = 1_000_000
+    host_per_capacity: int = 100_000
+    host_per_batch_size: int = 64
 
     @classmethod
     def from_runner(cls, runner, **overrides) -> "TaskConfig":

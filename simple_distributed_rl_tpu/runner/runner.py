@@ -377,13 +377,25 @@ class Runner:
             chunk_steps = required
         fn = self.engine.build_chunk(chunk_steps, 0, training=True)
         carry = self.carry
+        stalled = 0
+        prev_size = -1
         while True:
             if max_steps and int(carry.env_steps) >= max_steps:
                 break
             if max_memory:
                 self._carry = carry
-                if self.memory_size() >= max_memory:
+                size = self.memory_size()
+                if size >= max_memory:
                     break
+                # a ring buffer at capacity stops growing — fail loudly instead of
+                # spinning forever when max_memory exceeds the memory's capacity
+                stalled = stalled + 1 if size == prev_size else 0
+                prev_size = size
+                if stalled > 200:
+                    raise RuntimeError(
+                        f"rollout: memory size stuck at {size} < max_memory="
+                        f"{max_memory} (capacity too small?)"
+                    )
             carry, _ = fn(carry)
         self._carry = carry
         out = {"env_steps": int(carry.env_steps)}

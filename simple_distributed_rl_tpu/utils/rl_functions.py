@@ -86,7 +86,11 @@ def epsilon_greedy(
     k_eps, k_rand, k_tie = jax.random.split(key, 3)
     b = q.shape[0]
     explore = jax.random.uniform(k_eps, (b,)) < epsilon
-    rand_logits = jnp.where(invalid_mask, -jnp.inf, 0.0)
+    # width comes from q, not the mask: a continuous env's mask is [B, 1] (its raw
+    # action count) while the algorithm explores the ENCODED Discrete(division)
+    # space — zeros_like(q) broadcasts the mask up (round-3 finding: exploration
+    # collapsed to action 0 on discretized Pendulum)
+    rand_logits = jnp.where(invalid_mask, -jnp.inf, jnp.zeros_like(q))
     a_rand = jax.random.categorical(k_rand, rand_logits, axis=-1).astype(jnp.int32)
     if tie_break:
         a_greedy = random_max_index(q, invalid_mask, k_tie)

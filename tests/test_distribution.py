@@ -206,3 +206,23 @@ def test_distribution_callbacks_checkpoint_history(kv, tmp_path):
     recs = [json.loads(l) for l in open(tmp_path / "hist" / "history.jsonl")]
     assert recs and recs[-1]["train_count"] >= 2_000
     assert recs[-1]["trainer_up"] in (True, False)
+
+
+@pytest.mark.slow
+def test_train_distribution_host_per(kv):
+    """Trainer daemon with HOST-side C++ sum-tree PER (ops/host_per.py wired via
+    TaskConfig.use_host_per): experience chunks are split into transitions on the
+    host, sampled by priority with IS weights, |td| written back per update
+    (parity: the reference's native ProportionalMemory living in the memory/
+    trainer process, cpp_module/proportional_memory.cpp + play_mp_memory.py)."""
+    cfg = DQNConfig(batch_size=16, hidden_sizes=(32,))
+    cfg.memory.warmup_size = 50
+    runner, reason = _run_distributed(
+        kv, cfg, actor_num=1, max_train_count=300, num_envs=8,
+        use_host_per=True, host_per_capacity=10_000, host_per_batch_size=16,
+    )
+    assert "max_train_count" in reason or "timeout" in reason
+    tm = TaskManager(kv.create_connector())
+    assert tm.train_count() >= 300
+    rewards = runner.evaluate(5)
+    assert np.isfinite(rewards).all()

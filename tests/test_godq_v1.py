@@ -69,14 +69,31 @@ def test_godq_v1_shrink_perturb_reset():
 
 @pytest.mark.slow
 def test_godq_v1_grid_baseline():
+    """Grid >= 0.65 (the reference's own bar, base_godq_v1.py:35-43 via
+    envs/grid.py:25-30), BYOL feat, no archive."""
     cfg = GoDQv1Config(
-        base_units=64, batch_size=32, lr=5e-4, discount=0.9,
-        memory_warmup_size=500, reset_net_interval=0, epsilon=0.05,
+        base_units=64, batch_size=64, lr=1e-3, discount=0.9,
+        memory_warmup_size=500, reset_net_interval=0, epsilon=0.1,
     )
     r = srl.Runner("Grid", cfg, num_envs=32, seed=1)
     r.train(max_steps=200_000, train_steps_per_chunk=32, progress=False)
-    rewards = r.evaluate(200)
-    assert float(rewards[0]) >= 0.6
+    rewards = r.evaluate(500)
+    assert float(rewards[0]) >= 0.65
+
+
+@pytest.mark.slow
+def test_godq_v1_grid_baseline_byol_archive():
+    """Grid >= 0.65 with the reference's second parametrization
+    (base_godq_v1.py:36 ["BYOL", True]): BYOL feat + go-explore archive."""
+    cfg = GoDQv1Config(
+        base_units=64, batch_size=32, lr=5e-4, discount=0.9,
+        memory_warmup_size=500, reset_net_interval=0, epsilon=0.05,
+        align_loss_coeff=0.1, feat_type="BYOL", enable_archive=True,
+    )
+    r = srl.Runner("Grid", cfg, num_envs=32, seed=1)
+    r.train(max_steps=200_000, train_steps_per_chunk=32, progress=False)
+    rewards = r.evaluate(500)
+    assert float(rewards[0]) >= 0.65
 
 
 # ---------------------------------------------------------------------------
@@ -111,10 +128,15 @@ def test_godq_v1_lstm_rnd():
 
 
 @pytest.mark.slow
-def test_godq_v1_lstm_pomdp_learns_signal():
-    # Tiger needs memory; just verify the recurrent pipeline runs on a POMDP
-    cfg = _small_lstm(enable_int_q=False, feat_type="")
-    r = srl.Runner("Tiger", cfg, num_envs=8, seed=3)
-    r.train(max_steps=2000, train_steps_per_chunk=2, progress=False)
-    rewards = r.evaluate(4)
-    assert np.isfinite(rewards).all()
+def test_godq_v1_lstm_tiger_baseline():
+    """Tiger (POMDP) >= -0.1, the reference's own bar for the LSTM variant
+    (base_godq_v1_lstm.py:36-47: units 64, feat '', no int_q, no resets) — the
+    recurrent state must carry the listen observations to beat it. Measured
+    +0.04 with this recipe."""
+    cfg = make("GoDQ_v1_LSTM", base_units=64, batch_size=32, lr=1e-3, discount=0.9,
+               burnin=0, sequence_length=4, feat_type="", enable_int_q=False,
+               reset_net_interval=0, memory_warmup_size=100, epsilon=0.1)
+    r = srl.Runner("Tiger", cfg, num_envs=32, seed=1)
+    r.train(max_steps=150_000, train_steps_per_chunk=8, progress=False)
+    rewards = r.evaluate(500)
+    assert float(rewards[0]) >= -0.1
