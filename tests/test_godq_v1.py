@@ -96,6 +96,19 @@ def test_godq_v1_grid_baseline_byol_archive():
     assert float(rewards[0]) >= 0.65
 
 
+@pytest.mark.slow
+def test_godq_v1_pendulum_baseline():
+    """Pendulum >= -500 (reference: base_godq_v1.py:44-50, gym baseline via
+    gymnasium_wrapper.py:327-329). Requires the encoded-action-space head fix
+    (round 3); measured -316 with this recipe."""
+    cfg = GoDQv1Config(base_units=64, batch_size=64, lr=1e-3, discount=0.9,
+                       memory_warmup_size=1000, reset_net_interval=0, epsilon=0.1)
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=64, seed=1)
+    r.train(max_steps=600_000, train_steps_per_chunk=64, progress=False)
+    rewards = r.evaluate(100)
+    assert float(rewards[0]) >= -500.0
+
+
 # ---------------------------------------------------------------------------
 # GoDQ_v1_LSTM
 # ---------------------------------------------------------------------------

@@ -57,11 +57,16 @@ class _FakeMlflow(types.ModuleType):
         self.metrics.append((k, v, step))
 
     def log_artifact(self, path):
-        import lzma
-        import pickle
+        name = path.split("/")[-1]
+        if name.endswith(".pkl.xz"):
+            import lzma
+            import pickle
 
-        with lzma.open(path, "rb") as f:
-            self.artifacts.append((path.split("/")[-1], pickle.load(f)))
+            with lzma.open(path, "rb") as f:
+                self.artifacts.append((name, pickle.load(f)))
+        else:
+            with open(path, "rb") as f:
+                self.artifacts.append((name, f.read()))
 
     def end_run(self):
         self.run_ended = True
@@ -83,8 +88,11 @@ def test_mlflow_full_runner_roundtrip(monkeypatch):
     assert fake.params["algorithm"] == "QL"
     assert fake.params.get("lr") == "0.2"  # modified-fields diff
     assert any(k == "env_steps" for k, _, _ in fake.metrics)
-    # checkpoint artifact is a loadable parameter payload
-    assert fake.artifacts and fake.artifacts[0][0] == "parameter.pkl.xz"
+    # checkpoint artifact is a loadable parameter payload (runner.yaml is
+    # logged first since round 3)
+    art = dict(fake.artifacts)
+    assert "parameter.pkl.xz" in art
+    fake.artifacts = [("parameter.pkl.xz", art["parameter.pkl.xz"])]
 
     # load-back into a fresh runner through the public load path
     import lzma
@@ -112,3 +120,56 @@ def test_mlflow_full_runner_roundtrip(monkeypatch):
         q1 = np.asarray(r.algo_state.q_table)
         q2 = np.asarray(r2.algo_state.q_table)
         assert np.allclose(q1, q2)
+
+
+def test_mlflow_eval_plot_and_runner_reconstruct(monkeypatch, tmp_path):
+    """Round-3 depth (parity: mlflow_callback.py interval eval + plot artifacts +
+    load_runner_from_mlflow, runner/runner.py:1454): interval evaluation metrics,
+    the runner.yaml + history.png artifacts, and full-runner reconstruction."""
+    fake = _FakeMlflow()
+    monkeypatch.setitem(sys.modules, "mlflow", fake)
+
+    from simple_distributed_rl_tpu.runner.mlflow_callback import MLFlowCallback
+
+    r = srl.Runner("Grid", QLConfig(lr=0.2), num_envs=32, seed=1)
+    cb = MLFlowCallback(interval=0.0, enable_eval=True, eval_episodes=4,
+                        eval_interval=0.0)
+    r.train(max_steps=6_000, progress=False, callbacks=[cb])
+
+    names = [n for n, _ in fake.artifacts]
+    assert "runner.yaml" in names
+    assert "parameter.pkl.xz" in names
+    assert "history.png" in names
+    assert any(k == "eval_reward0" for k, _, _ in fake.metrics)
+
+    # reconstruct the runner from the logged artifacts
+    import os
+
+    yml = dict(fake.artifacts)["runner.yaml"]
+    p_yaml = os.path.join(tmp_path, "runner.yaml")
+    with open(p_yaml, "wb") as f:
+        f.write(yml)
+    import lzma
+    import pickle
+
+    p_param = os.path.join(tmp_path, "parameter.pkl.xz")
+    with lzma.open(p_param, "wb") as f:
+        pickle.dump(dict(fake.artifacts)["parameter.pkl.xz"], f)
+
+    fake2 = _FakeMlflow()
+    fake2.artifacts = types.SimpleNamespace(
+        download_artifacts=lambda run_id, artifact_path: {
+            "runner.yaml": p_yaml, "parameter.pkl.xz": p_param
+        }[artifact_path]
+    )
+    monkeypatch.setitem(sys.modules, "mlflow", fake2)
+    from simple_distributed_rl_tpu.runner.mlflow_callback import (
+        load_runner_from_mlflow,
+    )
+
+    r2 = load_runner_from_mlflow("fake-run")
+    assert r2.env_id == "Grid" and r2.algo.get_name() == "QL"
+    np.testing.assert_allclose(
+        np.asarray(r2.algo.params_of(r2.algo_state)),
+        np.asarray(r.algo.params_of(r.algo_state)),
+    )
