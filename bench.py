@@ -137,12 +137,29 @@ def make_pixels_env(h=84, w=84):
 
 
 def main():
+    import jax.numpy as jnp
+
     from simple_distributed_rl_tpu.algorithms import DQNConfig
 
     baseline = 1_000_000.0  # env-steps/s per host (BASELINE.md driver target)
     on_tpu = jax.devices()[0].platform == "tpu"
+    # pre-warm the (possibly remote) compile service so session init is not
+    # attributed to the first workload's warmup number
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.jit(lambda x: x @ x)(jnp.ones((128, 128))))
+    prewarm_s = round(time.perf_counter() - t0, 1)
     details = {"platform": jax.devices()[0].platform,
-               "device": str(jax.devices()[0]), "workloads": []}
+               "device": str(jax.devices()[0]),
+               "compile_service_prewarm_s": prewarm_s,
+               "notes": (
+                   "xla_bytes_per_call is XLA cost-analysis LOGICAL bytes (counts "
+                   "functional ring-buffer updates at full width before in-place "
+                   "fusion), so hbm_bw_util can exceed 1 on replay-heavy MLP "
+                   "workloads; mfu is vs the v5e bf16 peak while these "
+                   "reference-scale models run f32 — the CNN workload is the "
+                   "MXU-bound datapoint"
+               ),
+               "workloads": []}
 
     def dqn_cfg():
         cfg = DQNConfig(hidden_sizes=(64, 64), batch_size=512, discount=0.9)

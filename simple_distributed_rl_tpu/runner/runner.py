@@ -133,6 +133,10 @@ class Runner:
         carry = self.carry
         stats: Dict[str, Any] = {}
         ep0 = int(carry.episode_count)
+        # max_train_count counts THIS call's updates (parity: the reference's
+        # RunState.train_count restarts per play call, base/context.py:346) — a
+        # staged recipe calling train() after train_only() must not stop instantly
+        tc0 = int(getattr(carry.algo_state, "train_count", 0))
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         while True:
@@ -160,7 +164,7 @@ class Runner:
                 stop = True
             if max_steps and stats["env_steps"] >= max_steps:
                 stop = True
-            if max_train_count and stats.get("train_count", 0) >= max_train_count:
+            if max_train_count and stats.get("train_count", 0) - tc0 >= max_train_count:
                 stop = True
             if stop:
                 break

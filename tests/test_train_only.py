@@ -59,3 +59,16 @@ def test_offline_rollout_train_only_beats_grid_baseline(tmp_path):
     r2.train_only(max_train_count=10_000, train_steps_per_call=512,
                   progress=False)
     assert r2.evaluate_compare_to_baseline_single_player(episodes=500)
+
+
+def test_train_max_train_count_is_per_call():
+    """max_train_count counts THIS call's updates (parity: RunState.train_count
+    restarts per play call, base/context.py:346) — staged recipes call train()
+    after train_only() and must not stop instantly."""
+    r = srl.Runner("Grid", _dqn(), num_envs=32, seed=21)
+    r.rollout(max_memory=1_000)
+    r.train_only(max_train_count=64, train_steps_per_call=32, progress=False)
+    tc_mid = int(r.algo_state.train_count)
+    assert tc_mid >= 64
+    r.train(max_train_count=64, train_steps_per_chunk=32, progress=False)
+    assert int(r.algo_state.train_count) >= tc_mid + 64
