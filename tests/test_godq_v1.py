@@ -141,6 +141,34 @@ def test_godq_v1_lstm_rnd():
 
 
 @pytest.mark.slow
+def test_godq_v1_lstm_grid_baseline():
+    """Grid >= 0.3, the reference's LSTM-variant bar (base_godq_v1_lstm.py:49-56,
+    BYOL defaults). Measured 0.75 with this recipe."""
+    cfg = make("GoDQ_v1_LSTM", base_units=64, batch_size=32, lr=1e-3, discount=0.9,
+               burnin=2, sequence_length=6, reset_net_interval=0,
+               memory_warmup_size=100, epsilon=0.1)
+    r = srl.Runner("Grid", cfg, num_envs=32, seed=1)
+    r.train(max_steps=200_000, train_steps_per_chunk=8, progress=False)
+    rewards = r.evaluate(300)
+    assert float(rewards[0]) >= 0.3
+
+
+@pytest.mark.slow
+def test_godq_v1_lstm_pendulum_baseline():
+    """Pendulum >= -500, the reference's LSTM-variant bar
+    (base_godq_v1_lstm.py:58-64: discount .9, lr 1e-3). Measured -431 with this
+    recipe (int-Q off — the intrinsic mix hurts on a dense-reward control task)."""
+    cfg = make("GoDQ_v1_LSTM", base_units=128, batch_size=64, lr=1e-3,
+               discount=0.9, burnin=2, sequence_length=6, reset_net_interval=0,
+               memory_warmup_size=100, epsilon=0.05, enable_int_q=False,
+               feat_type="")
+    r = srl.Runner("Pendulum-v1", cfg, num_envs=64, seed=1)
+    r.train(max_steps=1_000_000, train_steps_per_chunk=24, progress=False)
+    rewards = r.evaluate(100)
+    assert float(rewards[0]) >= -500.0
+
+
+@pytest.mark.slow
 def test_godq_v1_lstm_tiger_baseline():
     """Tiger (POMDP) >= -0.1, the reference's own bar for the LSTM variant
     (base_godq_v1_lstm.py:36-47: units 64, feat '', no int_q, no resets) — the
