@@ -143,7 +143,7 @@ def main():
     ap.add_argument("--out", default="PARITY_CURVES.json")
     args = ap.parse_args()
 
-    seeds = [1] if args.quick else [1, 2]
+    seeds = [1] if args.quick else [1, 2, 3]
     names = ["QL/Grid"] if args.quick else list(WORKLOADS)
 
     results = {}

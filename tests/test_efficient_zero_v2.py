@@ -49,16 +49,19 @@ def test_ez2_consistency_off():
 
 @pytest.mark.slow
 def test_ez2_easygrid_baseline():
+    """EasyGrid >= 0.9, the reference's own bar (base_efficient_zero_v2.py:54-65:
+    20 simulations, lr 1e-3, unroll 2, warmup 100, 2000 trains on the EasyGrid
+    env baseline grid.py:44-52). Measured 1.0 @~4.7k trains."""
     cfg = EfficientZeroV2Config(
-        num_simulations=16, num_top_actions=4, unroll_steps=3, batch_size=32,
-        warmup_size=200, latent_dim=32, lstm_units=32, value_bins=41,
-        v_min=-3.0, v_max=3.0, discount=0.9, lr=2e-3,
+        num_simulations=20, num_top_actions=4, unroll_steps=2, batch_size=32,
+        warmup_size=100, latent_dim=32, lstm_units=32, value_bins=41,
+        v_min=-3.0, v_max=3.0, discount=0.9, lr=1e-3,
         policy_tau_points=((20_000, 1.0), (40_000, 0.5)),
     )
     r = srl.Runner("EasyGrid", cfg, num_envs=16, seed=1)
-    r.train(max_steps=120_000, train_steps_per_chunk=16, progress=False)
+    r.train(max_steps=150_000, train_steps_per_chunk=16, progress=False)
     rewards = r.evaluate(100)
-    assert float(rewards[0]) >= 0.5
+    assert float(rewards[0]) >= 0.9
 
 
 @pytest.mark.slow
