@@ -96,15 +96,16 @@ class PriorityReplayBuffer:
         )
 
     def add_masked(self, state: PriorityReplayState, items: Any, mask: Array) -> PriorityReplayState:
-        b = mask.shape[0]
-        order = jnp.argsort(jnp.logical_not(mask), stable=True)
-        ring_pos = (state.base.insert_pos + jnp.arange(b, dtype=jnp.int32)) % self.capacity
-        # scratch for priorities: reuse slot via where (masked rows keep old value)
-        mask_sorted = mask[order]
-        prio = jnp.where(mask_sorted, state.max_priority, 0.0)
-        safe_pos = jnp.where(mask_sorted, ring_pos, ring_pos[0])
-        old = state.priorities[safe_pos]
-        new_prio = state.priorities.at[safe_pos].set(jnp.where(mask_sorted, prio, old))
+        # same cumsum-rank slots as ReplayBuffer.add_masked; masked-out rows go
+        # out of bounds and are DROPPED by the scatter (priorities has no scratch
+        # row), so the data and priority writes land on identical slots
+        offs = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        pos = jnp.where(
+            mask, (state.base.insert_pos + offs) % self.capacity, self.capacity
+        )
+        new_prio = state.priorities.at[pos].set(
+            jnp.broadcast_to(state.max_priority, pos.shape), mode="drop"
+        )
         base = self.inner.add_masked(state.base, items, mask)
         return PriorityReplayState(
             base=base, priorities=new_prio, max_priority=state.max_priority

@@ -69,17 +69,17 @@ class ReplayBuffer:
         return self._write(state, items, pos, jnp.asarray(b, jnp.int32))
 
     def add_masked(self, state: ReplayState, items: Any, mask: Array) -> ReplayState:
-        """Add only rows where ``mask`` is True. Static shapes: valid rows are compacted
-        to the front (stable argsort on ~mask) and written at the cursor; masked-out
-        rows are scattered to the scratch row ``capacity``."""
-        b = mask.shape[0]
-        order = jnp.argsort(jnp.logical_not(mask), stable=True)
-        items_sorted = jax.tree.map(lambda x: x[order], items)
-        mask_sorted = mask[order]
-        ring_pos = (state.insert_pos + jnp.arange(b, dtype=jnp.int32)) % self.capacity
-        pos = jnp.where(mask_sorted, ring_pos, self.capacity)
+        """Add only rows where ``mask`` is True. Static shapes: each valid row's ring
+        slot is its rank among the valid rows (one cumsum — the chunk's masked rows
+        can be ~10^6, so this replaces the previous O(n log n) stable-argsort
+        compaction, which showed up in the TPU profile); masked-out rows are
+        scattered to the scratch row ``capacity``."""
+        offs = jnp.cumsum(mask.astype(jnp.int32)) - 1  # rank among valid rows
+        pos = jnp.where(
+            mask, (state.insert_pos + offs) % self.capacity, self.capacity
+        )
         n_valid = jnp.sum(mask.astype(jnp.int32))
-        return self._write(state, items_sorted, pos, n_valid)
+        return self._write(state, items, pos, n_valid)
 
     def sample(self, state: ReplayState, key: Array, batch_size: int) -> Any:
         idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(state.size, 1))
