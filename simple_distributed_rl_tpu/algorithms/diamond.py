@@ -629,11 +629,10 @@ class DiamondConfig(AlgoConfig):
         a_logits, _v, hc = self.actor_critic.apply(
             state.ac_params, jnp.asarray(obs, jnp.float32), hc)
         a_logits = jnp.where(invalid_mask, -jnp.inf, a_logits)
-        action = jnp.where(
-            ctx.training,
-            jax.random.categorical(key, a_logits, -1),
-            jnp.argmax(a_logits, -1),
-        ).astype(jnp.int32)
+        # the reference SAMPLES the categorical policy in eval too (worker.py:43
+        # has no training branch) — argmax eval was stricter than the capability
+        # being matched
+        action = jax.random.categorical(key, a_logits, -1).astype(jnp.int32)
         return action, DiamondActorState(c=hc[0], h=hc[1])
 
     # --- memory --------------------------------------------------------------
