@@ -81,3 +81,43 @@ def test_diamond_save_load(tmp_path):
     b = jax.tree_util.tree_leaves(r2.algo.params_of(r2.algo_state))
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+def test_diamond_easygrid_staged_baseline():
+    """EasyGrid >= 0.9 via the reference's staged recipe (base_diamond.py:53-77):
+    random rollout to 10k windows -> diffusion-only train_only -> reward/end-only
+    train_only -> actor-critic train. Two round-3 changes made this reach the bar
+    (measured 1.0): the reward/end model at the reference's small-params scale
+    (config.py:115-122 — the unit-test-sized one had 0% accuracy on the 1%-
+    positive reward class) and sampled (not argmax) eval actions like the
+    reference worker (worker.py:43). Runtime ~9 min on TPU, ~1 h on idle CPU
+    (the diffusion stage dominates)."""
+    from simple_distributed_rl_tpu.algorithms import make
+    from simple_distributed_rl_tpu.algorithms.diamond import RewardEndModelConfig
+
+    cfg = make("DIAMOND").set_small_params()
+    cfg.reward_end_cfg = RewardEndModelConfig(
+        lstm_dim=32, condition_channels=32, channels_list=(16, 16),
+        res_block_num_list=(2, 2), use_attention_list=(False, False))
+    cfg.capacity = 12_000
+    cfg.warmup_size = 50
+    r = srl.Runner("EasyGrid-layer", cfg, num_envs=16, seed=1)
+
+    cfg.train_diffusion = cfg.train_reward_end = cfg.train_actor_critic = False
+    r.rollout(max_memory=10_000)
+
+    cfg.train_diffusion = True
+    r.train_only(max_train_count=10_000, train_steps_per_call=500, progress=False)
+
+    cfg.train_diffusion = False
+    cfg.train_reward_end = True
+    cfg.batch_size = 32
+    r.train_only(max_train_count=2_000, train_steps_per_call=200, progress=False)
+
+    cfg.train_actor_critic = True
+    cfg.batch_size = 8
+    r.train(max_train_count=5_000, train_steps_per_chunk=8, progress=False)
+
+    rewards = r.evaluate(100, on_incomplete="ignore")
+    assert float(rewards[0]) >= 0.9
