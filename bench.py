@@ -41,17 +41,24 @@ def bench_workload(env_id, cfg, num_envs, chunk_steps, train_steps,
     chunk_fn = runner.engine.build_chunk(
         chunk_steps, train_steps, training=True, chunks_per_call=chunks_per_call)
 
+    def sync(c):
+        # host-read one element of EVERY carry leaf: on the axon backend
+        # block_until_ready has been observed to return before the computation
+        # finishes (timings of billions of steps/s); an actual device->host
+        # transfer of each leaf cannot lie
+        jax.device_get(jax.tree.map(lambda x: x.ravel()[:1], c))
+
     carry = runner.carry
     t_c0 = time.perf_counter()
     for _ in range(warm_chunks):
         carry, m = chunk_fn(carry)
-    jax.block_until_ready(carry.env_steps)
+    sync(carry)
     compile_s = time.perf_counter() - t_c0
 
     t0 = time.perf_counter()
     for _ in range(bench_chunks):
         carry, m = chunk_fn(carry)
-    jax.block_until_ready(carry.env_steps)
+    sync(carry)
     dt = time.perf_counter() - t0
 
     steps = bench_chunks * chunk_steps * num_envs * chunks_per_call

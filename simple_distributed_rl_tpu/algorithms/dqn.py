@@ -102,6 +102,10 @@ class DQNConfig(AlgoConfig):
     enable_double_dqn: bool = True
     enable_rescale: bool = False
     input_block: InputBlockConfig = dataclasses.field(default_factory=InputBlockConfig)
+    #: "float32" | "bfloat16" computation dtype for the Q network (params stay
+    #: f32; bf16 runs the MXU at full rate — parity: the reference's tf
+    #: mixed-precision policy, srl/base/system/device.py)
+    compute_dtype: str = "float32"
     hidden_sizes: Tuple[int, ...] = (64, 64)
     dueling: bool = False
 
@@ -140,6 +144,7 @@ class DQNConfig(AlgoConfig):
             input_block=self.input_block,
             hidden=self.hidden_sizes,
             dueling=self.dueling,
+            dtype=jnp.dtype(self.compute_dtype) if self.compute_dtype != "float32" else None,
         )
         self._tx = optax.adam(self.lr)
 

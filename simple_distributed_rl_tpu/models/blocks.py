@@ -38,12 +38,13 @@ class MLPBlock(nn.Module):
     features: Sequence[int] = (64, 64)
     activation: str = "relu"
     kernel_init: Any = nn.initializers.he_normal()
+    dtype: Any = None  # computation dtype (bfloat16 feeds the MXU; params stay f32)
 
     @nn.compact
     def __call__(self, x):
         act = _activation(self.activation)
         for f in self.features:
-            x = nn.Dense(f, kernel_init=self.kernel_init)(x)
+            x = nn.Dense(f, kernel_init=self.kernel_init, dtype=self.dtype)(x)
             x = act(x)
         return x
 
@@ -54,13 +55,14 @@ class DQNImageBlock(nn.Module):
 
     filters: Sequence[int] = (32, 64, 64)
     activation: str = "relu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         act = _activation(self.activation)
-        x = act(nn.Conv(self.filters[0], (8, 8), strides=(4, 4), padding="SAME")(x))
-        x = act(nn.Conv(self.filters[1], (4, 4), strides=(2, 2), padding="SAME")(x))
-        x = act(nn.Conv(self.filters[2], (3, 3), strides=(1, 1), padding="SAME")(x))
+        x = act(nn.Conv(self.filters[0], (8, 8), strides=(4, 4), padding="SAME", dtype=self.dtype)(x))
+        x = act(nn.Conv(self.filters[1], (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)(x))
+        x = act(nn.Conv(self.filters[2], (3, 3), strides=(1, 1), padding="SAME", dtype=self.dtype)(x))
         return x.reshape((x.shape[0], -1))
 
 
@@ -69,19 +71,20 @@ class R2D3ImageBlock(nn.Module):
 
     filters: Sequence[int] = (16, 32, 32)
     activation: str = "relu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         act = _activation(self.activation)
         for f in self.filters:
-            x = nn.Conv(f, (3, 3), padding="SAME")(x)
+            x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
             for _ in range(2):
                 block_in = x
                 y = act(x)
-                y = nn.Conv(f, (3, 3), padding="SAME")(y)
+                y = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(y)
                 y = act(y)
-                y = nn.Conv(f, (3, 3), padding="SAME")(y)
+                y = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(y)
                 x = block_in + y
         x = act(x)
         return x.reshape((x.shape[0], -1))
@@ -195,11 +198,13 @@ class DuelingHead(nn.Module):
     activation: str = "relu"
     noisy: bool = False
     dueling_type: str = "average"  # "average" | "max" | "naive"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         act = _activation(self.activation)
-        dense = (lambda f: NoisyDense(f)) if self.noisy else (lambda f: nn.Dense(f))
+        dense = (lambda f: NoisyDense(f)) if self.noisy else (
+            lambda f: nn.Dense(f, dtype=self.dtype))
         v = act(dense(self.hidden)(x))
         v = dense(1)(v)
         a = act(dense(self.hidden)(x))
@@ -240,12 +245,12 @@ class InputBlockConfig:
         self.muzero_layer_norm = use_layer_normalization
         return self
 
-    def create_block(self, obs_space: Space) -> nn.Module:
+    def create_block(self, obs_space: Space, dtype: Any = None) -> nn.Module:
         if isinstance(obs_space, Box) and obs_space.stype.is_image():
             if self.image_preset == "dqn":
-                return DQNImageBlock(activation=self.activation)
+                return DQNImageBlock(activation=self.activation, dtype=dtype)
             if self.image_preset == "r2d3":
-                return R2D3ImageBlock(activation=self.activation)
+                return R2D3ImageBlock(activation=self.activation, dtype=dtype)
             if self.image_preset == "muzero_atari":
                 return MuZeroAtariBlock(
                     filters=getattr(self, "muzero_filters", 128),
@@ -278,14 +283,21 @@ class QNetwork(nn.Module):
     activation: str = "relu"
     dueling: bool = False
     noisy: bool = False
+    #: computation dtype for matmuls/convs (params stay float32); "bfloat16"
+    #: feeds the MXU at full rate (parity: the reference's tf mixed-precision
+    #: policy, srl/base/system/device.py)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         ib = self.input_block or InputBlockConfig(activation=self.activation)
-        x = ib.create_block(self.obs_space)(x)
-        x = MLPBlock(self.hidden, self.activation)(x)
+        x = ib.create_block(self.obs_space, dtype=self.dtype)(x)
+        x = MLPBlock(self.hidden, self.activation, dtype=self.dtype)(x)
         if self.dueling:
-            return DuelingHead(self.num_actions, noisy=self.noisy, activation=self.activation)(x)
-        if self.noisy:
-            return NoisyDense(self.num_actions)(x)
-        return nn.Dense(self.num_actions)(x)
+            q = DuelingHead(self.num_actions, noisy=self.noisy,
+                            activation=self.activation, dtype=self.dtype)(x)
+        elif self.noisy:
+            q = NoisyDense(self.num_actions)(x)
+        else:
+            q = nn.Dense(self.num_actions, dtype=self.dtype)(x)
+        return q.astype(jnp.float32)
