@@ -56,7 +56,9 @@ def test_offline_rollout_train_only_beats_grid_baseline(tmp_path):
 
     r2 = srl.Runner("Grid", _dqn(batch_size=128), num_envs=128, seed=15)
     r2.load_memory(p)
-    r2.train_only(max_train_count=10_000, train_steps_per_call=512,
+    # 30k: at exactly 10k the offline value estimate is still settling for some
+    # RNG streams (seen 0.33-0.73); 20k+ plateaus at ~0.73-0.74
+    r2.train_only(max_train_count=30_000, train_steps_per_call=512,
                   progress=False)
     assert r2.evaluate_compare_to_baseline_single_player(episodes=500)
 
