@@ -34,8 +34,9 @@ def main():
 
     # 3. evaluate with the greedy policy
     eval_fn = engine.build_eval(num_episodes=100)
-    rewards, complete = eval_fn(carry.algo_state, jax.random.PRNGKey(1))
-    print("eval per-player mean:", jnp.round(rewards, 3), "complete:", bool(complete))
+    rewards, recorded, _ = eval_fn(carry.algo_state, jax.random.PRNGKey(1))
+    print("eval per-player mean:", jnp.round(rewards.mean(axis=0), 3),
+          "complete:", bool(jnp.all(recorded)))
 
     # 4. single-episode host-side inspection (step-by-step, like the
     #    reference's rendering branch)

@@ -177,11 +177,15 @@ class DataParallelEngine:
         eval_inner = self.engine.build_eval(num_episodes_per_shard)
 
         def shard_fn(carry_algo, keys):
-            rewards, complete = eval_inner(_unstack(carry_algo), keys[0])
+            rewards, recorded, _steps = eval_inner(_unstack(carry_algo), keys[0])
             # reduce INSIDE the program (multi-host safe: the replicated output is
-            # readable from any process's local shards)
-            rewards = jax.lax.pmean(rewards, self.axis)
-            complete = jax.lax.pmin(complete.astype(jnp.int32), self.axis)
+            # readable from any process's local shards); the mean counts only
+            # RECORDED episodes — never zeros-diluted (round-3 verdict weak #5)
+            rec = recorded.astype(jnp.float32)[:, None]
+            sum_rec = jax.lax.psum(jnp.sum(rewards * rec, axis=0), self.axis)
+            n_rec = jax.lax.psum(jnp.sum(rec), self.axis)
+            rewards = sum_rec / jnp.maximum(n_rec, 1.0)
+            complete = jax.lax.pmin(jnp.all(recorded).astype(jnp.int32), self.axis)
             return rewards, complete
 
         fn = jax.jit(

@@ -599,7 +599,13 @@ class PlayEngine:
         TPU-idiomatic early exit: a lax.while_loop over ``chunk_steps``-long scans
         stops as soon as every env has recorded an episode, so long-horizon envs
         (gym adapters, 1000-step caps) whose episodes end early don't pay the full
-        worst-case scan; the step budget stays bounded by max_episode_steps."""
+        worst-case scan; the step budget stays bounded by max_episode_steps.
+
+        Returns a jitted fn ``(algo_state, key) -> (rewards [B, P], recorded [B],
+        steps_run)``: per-env first-episode rewards, which envs actually finished
+        one (so partial means average only RECORDED episodes — the reference
+        averages finished episodes only, runner/runner.py:724), and how many
+        lockstep rollout steps the while-loop executed (observable early-exit)."""
         B = int(num_episodes)
         steps = int(max_steps or (self.aenv.max_episode_steps * max(1, self.P) + 2))
         chunk = max(1, min(int(chunk_steps), steps))
@@ -640,9 +646,9 @@ class PlayEngine:
                     jnp.logical_not(jnp.all(recorded)), i < n_chunks_cap
                 )
 
-            (carry, recorded, rewards), _ = jax.lax.while_loop(
+            (carry, recorded, rewards), n_chunks = jax.lax.while_loop(
                 cond, chunk_body, ((carry, recorded, rewards), jnp.asarray(0, jnp.int32))
             )
-            return jnp.mean(rewards, axis=0), jnp.all(recorded)
+            return rewards, recorded, n_chunks * chunk
 
         return jax.jit(eval_fn)

@@ -80,23 +80,32 @@ class MLFlowCallback(RunCallback):
             pass
 
     def on_chunk_end(self, runner, stats) -> None:
+        import logging
+
         import mlflow
 
         now = time.time()
+        step = int(stats.get("env_steps", 0))
         if self.enable_eval and now - self._t_last_eval >= self.eval_interval:
             # interval evaluation (parity: the reference's Evaluate mixin logging
-            # eval_reward0.. at intervals, mlflow_callback.py + evaluate.py:28-58)
+            # eval_reward0.. at intervals, mlflow_callback.py + evaluate.py:28-58).
+            # Logged IMMEDIATELY (independent of the generic metric interval) into
+            # a LOCAL dict — never mutating the shared stats other callbacks see,
+            # never silently discarded (round-3 advisor findings)
             self._t_last_eval = now
             try:
                 rewards = runner.evaluate(self.eval_episodes, on_incomplete="ignore")
-                for i, rw in enumerate(rewards):
-                    stats[f"eval_reward{i}"] = float(rw)
+                eval_metrics = {f"eval_reward{i}": float(rw) for i, rw in enumerate(rewards)}
+                self._history.append({"env_steps": step, **eval_metrics})
+                for k, v in eval_metrics.items():
+                    mlflow.log_metric(k, v, step=step)
             except Exception:
-                pass
+                logging.getLogger(__name__).warning(
+                    "MLFlowCallback: interval eval failed", exc_info=True
+                )
         if now - self._t_last < self.interval:
             return
         self._t_last = now
-        step = int(stats.get("env_steps", 0))
         numeric = {
             k: float(v) for k, v in stats.items() if isinstance(v, (int, float))
         }
@@ -170,8 +179,15 @@ def load_runner_from_mlflow(run_id: str):
         run_id=run_id, artifact_path="runner.yaml"
     )
     runner = Runner.load(cfg_path)
+    # only the artifact-NOT-FOUND case is tolerable (a run recorded before
+    # checkpoint logging was enabled); a corrupt/failed restore must not
+    # silently hand back a freshly-initialized runner that looks trained
+    # (round-3 advisor finding)
     try:
-        load_parameter_from_mlflow(runner, run_id)
+        arts = {a.path for a in mlflow.artifacts.list_artifacts(run_id=run_id)}
     except Exception:
-        pass  # run may predate checkpoint logging
+        arts = None
+    if arts is not None and "parameter.pkl.xz" not in arts:
+        return runner  # genuinely no checkpoint logged
+    load_parameter_from_mlflow(runner, run_id)
     return runner

@@ -66,6 +66,8 @@ class Runner:
         self._chunk_steps = None
         self._eval_fns: Dict[tuple, Any] = {}
         self._eval_calls = 0
+        self._train_only_calls = 0
+        self.last_eval_info: Optional[Dict[str, int]] = None
         self._history_cb = None
 
     # --- history (parity: Runner.set_history_on_memory/get_history) --------
@@ -103,13 +105,17 @@ class Runner:
         timeout: Optional[float] = None,
         chunk_steps: int = 32,
         train_steps_per_chunk: Optional[int] = None,
+        chunks_per_call: int = 1,
         callbacks: Optional[List[RunCallback]] = None,
         progress: bool = True,
         profile_dir: Optional[str] = None,
     ) -> Dict[str, Any]:
         """Train until any stop condition hits (parity: Runner.train stop conditions,
         srl/base/context.py max_steps/max_train_count/timeout). ``max_steps`` counts
-        TOTAL env steps across the vectorized batch. ``profile_dir`` captures a
+        TOTAL env steps across the vectorized batch. ``chunks_per_call`` > 1 scans
+        several chunks inside one jit call, amortizing the host-call boundary
+        (callbacks/stop checks then fire once per call, i.e. every
+        ``chunk_steps * chunks_per_call`` lockstep rows). ``profile_dir`` captures a
         jax.profiler trace of the run (the tracing hook the reference lacks —
         SURVEY.md §5)."""
         assert max_steps or max_train_count or timeout, "need a stop condition"
@@ -117,9 +123,12 @@ class Runner:
         required = getattr(self.algo, "required_chunk_steps", None)
         if required is not None:
             chunk_steps = required
-        if self._chunk_fn is None or self._chunk_steps != chunk_steps:
-            self._chunk_fn = self.engine.build_chunk(chunk_steps, train_steps_per_chunk, training=True)
-            self._chunk_steps = chunk_steps
+        if self._chunk_fn is None or self._chunk_steps != (chunk_steps, chunks_per_call):
+            self._chunk_fn = self.engine.build_chunk(
+                chunk_steps, train_steps_per_chunk, training=True,
+                chunks_per_call=chunks_per_call,
+            )
+            self._chunk_steps = (chunk_steps, chunks_per_call)
 
         callbacks = list(callbacks or [])
         if self._history_cb is not None:
@@ -434,9 +443,14 @@ class Runner:
             c.on_start(self)
         t0 = time.time()
         carry = self.carry
-        key = jax.random.fold_in(carry.key, 0x7FA1)
+        # distinct key stream per call (round-3 advisor: a fixed fold_in constant
+        # replayed identical batch-sampling keys across consecutive train_only calls)
+        key = jax.random.fold_in(carry.key, 0x7FA1 + self._train_only_calls)
+        self._train_only_calls += 1
         tc0 = int(carry.algo_state.train_count)
         stats: Dict[str, Any] = {}
+        stalled = 0
+        prev_trains = 0
         while True:
             key, k = jax.random.split(key)
             algo_state, metrics = train_fn(carry.algo_state, k)
@@ -454,6 +468,16 @@ class Runner:
                 stop = True
             if timeout and stats["elapsed"] >= timeout:
                 stop = True
+            # in-graph warmup gate: below warmup_size, train_count never advances —
+            # without a timeout that would spin forever (round-3 advisor; mirrors
+            # rollout(max_memory=)'s stalled check)
+            stalled = stalled + 1 if done_trains == prev_trains else 0
+            prev_trains = done_trains
+            if not timeout and stalled > 200:
+                raise RuntimeError(
+                    f"train_only: train_count stuck at {done_trains} — memory "
+                    f"size below warmup_size? (memory_size={self.memory_size()})"
+                )
             if stop:
                 break
         for c in callbacks:
@@ -473,8 +497,10 @@ class Runner:
         Each call advances the eval PRNG (fold_in on a per-runner counter) so
         repeated evaluations — e.g. the ``Evaluate`` callback — sample fresh
         episodes instead of replaying the identical set. Episodes that fail to
-        finish within the eval scan would silently contribute 0.0; by default we
-        ``raise`` instead (set ``on_incomplete="ignore"`` to accept partial means)."""
+        finish within the eval scan are excluded: by default we ``raise``; with
+        ``on_incomplete="ignore"`` the mean is over the RECORDED episodes only
+        (never zeros-diluted — the reference averages finished episodes only),
+        and ``self.last_eval_info`` reports ``{"recorded": n, "episodes": B}``."""
         cache_key = (
             max_episodes,
             tuple(p if (p is None or isinstance(p, str)) else id(p) for p in players)
@@ -489,14 +515,23 @@ class Runner:
         fn, _specs = self._eval_fns[cache_key]
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 1), self._eval_calls)
         self._eval_calls += 1
-        rewards, complete = fn(self.algo_state, key)
-        if not bool(complete) and on_incomplete == "raise":
-            raise RuntimeError(
-                "evaluate: some episodes did not finish within the eval scan "
-                "(env never terminates/truncates inside max_episode_steps?); "
-                'pass on_incomplete="ignore" to accept a partial mean'
-            )
-        return np.asarray(rewards)
+        rewards, recorded, _steps = fn(self.algo_state, key)
+        rewards = np.asarray(rewards)  # [B, P] first-episode reward per eval env
+        recorded = np.asarray(recorded)  # [B] which envs finished an episode
+        n = int(recorded.sum())
+        self.last_eval_info = {"recorded": n, "episodes": int(recorded.shape[0])}
+        if n < recorded.shape[0]:
+            if on_incomplete == "raise":
+                raise RuntimeError(
+                    f"evaluate: {recorded.shape[0] - n} episodes did not finish "
+                    "within the eval scan (env never terminates/truncates inside "
+                    'max_episode_steps?); pass on_incomplete="ignore" to average '
+                    "the recorded episodes only"
+                )
+            if n == 0:
+                raise RuntimeError("evaluate: no episode finished — nothing to average")
+            return rewards[recorded].mean(axis=0)
+        return rewards.mean(axis=0)
 
     def evaluate_compare_to_baseline_single_player(
         self, baseline: Optional[float] = None, episodes: Optional[int] = None

@@ -9,6 +9,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import simple_distributed_rl_tpu as srl
 from simple_distributed_rl_tpu.algorithms.base import AlgoConfig, Transition
@@ -156,39 +157,61 @@ def test_eval_runs():
     eng = PlayEngine(env, algo, 4)
     carry = eng.init(jax.random.PRNGKey(0))
     ev = eng.build_eval(16)
-    rewards, complete = ev(carry.algo_state, jax.random.PRNGKey(1))
-    assert rewards.shape == (1,)
-    assert bool(complete)
-    assert -2.5 <= float(rewards[0]) <= 1.0
+    rewards, recorded, steps = ev(carry.algo_state, jax.random.PRNGKey(1))
+    assert rewards.shape == (16, 1)
+    assert bool(jnp.all(recorded))
+    mean = float(rewards.mean(axis=0)[0])
+    assert -2.5 <= mean <= 1.0
 
 
 def test_eval_early_exit():
     """build_eval's while-loop stops once every env recorded an episode, so a
     long-horizon env (CartPole cap 500) with short episodes pays ~episode-length
-    steps, not the worst-case scan (round-2 VERDICT item 9)."""
-    import time
-
+    steps, not the worst-case scan (round-2 VERDICT item 9). Asserted on the
+    REPORTED step count, not wall clock (round-3 advisor: timing ratios flake
+    on a loaded 2-CPU box)."""
     from simple_distributed_rl_tpu.algorithms import DQNConfig
 
     r = srl.Runner("CartPole-v1", DQNConfig(), num_envs=4, seed=1)
-    fast = r.engine.build_eval(32)  # chunked, early exit
-    slow = r.engine.build_eval(32, chunk_steps=10_000)  # one full-cap chunk
+    fast = r.engine.build_eval(32)  # chunked (32), early exit
+    _, recorded, steps = fast(r.algo_state, jax.random.PRNGKey(0))
+    assert bool(jnp.all(recorded))
+    # untrained policy dies in ~10-30 steps; full scan would be 502 steps
+    assert int(steps) < 502 // 3, int(steps)
 
-    def med(fn):
-        ts = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            out = fn(r.algo_state, jax.random.PRNGKey(i))
-            jax.block_until_ready(out)
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[1]
-
-    med(fast), med(slow)  # warmup/compile both
-    t_fast, t_slow = med(fast), med(slow)
-    # untrained policy dies in ~10-30 steps; full scan is 502 steps
-    assert t_fast < t_slow / 3, (t_fast, t_slow)
-
-    # incomplete episodes are still reported (complete=False), never silent zeros
+    # incomplete episodes are still reported (recorded mask), never silent zeros
     never_done = r.engine.build_eval(8, max_steps=3)
-    _, complete = never_done(r.algo_state, jax.random.PRNGKey(9))
-    assert not bool(complete)
+    _, recorded, _ = never_done(r.algo_state, jax.random.PRNGKey(9))
+    assert not bool(jnp.all(recorded))
+
+
+def test_eval_partial_mean_ignores_unfinished():
+    """evaluate(on_incomplete="ignore") averages only RECORDED episodes — an
+    unfinished episode never contributes 0.0 (round-3 verdict weak #5):
+    3 of 4 finish with rewards 1,2,3 -> mean 2.0, not (1+2+3+0)/4."""
+    from simple_distributed_rl_tpu.algorithms import QLConfig
+
+    r = srl.Runner("Grid", QLConfig(), num_envs=4, seed=3)
+
+    def fake_eval(_state, _key):
+        rewards = jnp.asarray([[1.0], [2.0], [3.0], [0.0]])
+        recorded = jnp.asarray([True, True, True, False])
+        return rewards, recorded, jnp.asarray(12, jnp.int32)
+
+    r._eval_fns[(4, None)] = (fake_eval, None)
+    got = r.evaluate(4, on_incomplete="ignore")
+    assert got.shape == (1,) and abs(float(got[0]) - 2.0) < 1e-6
+    assert r.last_eval_info == {"recorded": 3, "episodes": 4}
+    with pytest.raises(RuntimeError):  # default is strict
+        r.evaluate(4)
+
+    def none_eval(_state, _key):
+        return (
+            jnp.zeros((4, 1)),
+            jnp.zeros((4,), jnp.bool_),
+            jnp.asarray(2, jnp.int32),
+        )
+
+    r._eval_fns[(4, None)] = (none_eval, None)
+    with pytest.raises(RuntimeError):  # zero recorded raises even under ignore
+        r.evaluate(4, on_incomplete="ignore")
