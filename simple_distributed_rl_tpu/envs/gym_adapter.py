@@ -20,6 +20,7 @@ vmap/AutoResetEnv for these envs.
 from __future__ import annotations
 
 import importlib.util
+import logging
 import threading
 from typing import Any, Callable, Optional, Tuple
 
@@ -27,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+logger = logging.getLogger(__name__)
 
 from ..define import SpaceTypes
 from ..spaces import ArrayDiscrete, Box, Discrete, Multi, Space, Text
@@ -161,6 +164,8 @@ class GymnasiumEnv(EnvCore):
         terminal_on_life_loss: bool = False,
         env_factory: Optional[Callable[[], Any]] = None,
         render_mode: Optional[str] = None,
+        enable_sanitize: bool = True,
+        enable_assertion: bool = False,
         **kwargs,
     ):
         import gymnasium
@@ -173,6 +178,12 @@ class GymnasiumEnv(EnvCore):
         self._render_mode = render_mode
         self._kwargs = kwargs
         self._terminal_on_life_loss = bool(terminal_on_life_loss)
+        # runtime robustness modes (parity: EnvRun enable_sanitize/enable_assertion,
+        # srl/base/env/env_run.py:373-440): sanitize coerces malformed step values
+        # with a logged warning; assertion raises instead (the test-harness mode)
+        self.enable_sanitize = bool(enable_sanitize)
+        self.enable_assertion = bool(enable_assertion)
+        self.remake_count = 0  # number of per-slot env rebuilds after exceptions
 
         self._lock = threading.Lock()
         self._pool: dict = {}  # slot -> (env, lives)
@@ -190,6 +201,95 @@ class GymnasiumEnv(EnvCore):
         self._max_steps = int(spec_steps or 99_999)
         self._interactive_slot = self.allocate_slots(1)
         self._obs_sds = _obs_shape_dtypes(self._ospace)
+
+    def _default_obs(self):
+        """Well-formed zero observation (parity: space.get_default on sanitize
+        failure, env_run.py:388-394)."""
+        return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), self._obs_sds)
+
+    # --- sanitize / remake (parity: env_run.py:313-322, 373-440) -------------
+    def _sanitize_obs(self, obs):
+        """Coerce a converted observation onto the declared shape/dtype; malformed
+        leaves fall back to the space default with a logged error."""
+
+        def fix(x, sds):
+            try:
+                a = np.asarray(x, sds.dtype)
+                if a.shape != sds.shape:
+                    if a.size == int(np.prod(sds.shape)):
+                        a = a.reshape(sds.shape)
+                    else:
+                        raise ValueError(f"shape {a.shape} != {sds.shape}")
+                if np.issubdtype(a.dtype, np.floating) and not np.all(np.isfinite(a)):
+                    a = np.nan_to_num(a)
+                return a
+            except Exception as e:
+                logger.error(
+                    "%s: 'state' in 'env.step' may not be SpaceType (%s); "
+                    "using the space default", self.env_id, e,
+                )
+                return np.zeros(sds.shape, sds.dtype)
+
+        return jax.tree.map(fix, obs, self._obs_sds)
+
+    def _coerce_step(self, obs, reward, terminated, truncated):
+        """Convert + validate one step result under the active mode."""
+        if self.enable_assertion:
+            out = self._obs_conv(obs)
+            for leaf, sds in zip(jax.tree.leaves(out), jax.tree.leaves(self._obs_sds)):
+                got = np.asarray(leaf)
+                assert got.shape == sds.shape, f"state shape {got.shape} != {sds.shape}"
+            assert isinstance(reward, (int, float, np.integer, np.floating)), (
+                f"reward type {type(reward)}"
+            )
+            assert isinstance(terminated, (bool, np.bool_)), f"terminated {type(terminated)}"
+            assert isinstance(truncated, (bool, np.bool_)), f"truncated {type(truncated)}"
+            return out, float(reward), bool(terminated), bool(truncated)
+        if not self.enable_sanitize:
+            return self._obs_conv(obs), float(reward), bool(terminated), bool(truncated)
+        try:
+            out = self._sanitize_obs(self._obs_conv(obs))
+        except Exception as e:
+            logger.error("%s: obs conversion failed (%s); using default", self.env_id, e)
+            out = self._default_obs()
+        try:
+            reward = float(reward)
+        except Exception as e:
+            logger.error(
+                "%s: 'reward' in 'env.step' may not be float (%s); using 0.0",
+                self.env_id, e,
+            )
+            reward = 0.0
+        try:
+            terminated = bool(terminated)
+        except Exception:
+            terminated = False
+        try:
+            truncated = bool(truncated)
+        except Exception:
+            truncated = False
+        return out, reward, terminated, truncated
+
+    def _remake_slot(self, slot: int, seed: int):
+        """Rebuild one pool slot after an exception and reset it (parity:
+        EnvRun.remake, env_run.py:313-322). Returns (entry, fresh obs)."""
+        ent = self._pool.pop(slot, None)
+        if ent is not None:
+            try:
+                ent["env"].close()
+            except Exception:
+                pass
+        self.remake_count += 1
+        ent = self._get(slot)
+        try:
+            obs = self._do_reset(ent, seed)
+        except Exception:
+            logger.error(
+                "%s: reset after remake also raised on slot %d; default obs",
+                self.env_id, slot, exc_info=True,
+            )
+            obs = self._default_obs()
+        return ent, obs
 
     # --- pool management ---------------------------------------------------
     def _make_instance(self, render: bool):
@@ -230,6 +330,12 @@ class GymnasiumEnv(EnvCore):
         obs, _ = ent["env"].reset(seed=int(seed) & 0x7FFFFFFF)
         if self._terminal_on_life_loss:
             ent["lives"] = self._ale_lives(ent["env"])
+        if self.enable_sanitize and not self.enable_assertion:
+            try:
+                return self._sanitize_obs(self._obs_conv(obs))
+            except Exception as e:
+                logger.error("%s: reset obs conversion failed (%s)", self.env_id, e)
+                return self._default_obs()
         return self._obs_conv(obs)
 
     def _do_step(self, ent, action):
@@ -239,7 +345,24 @@ class GymnasiumEnv(EnvCore):
             if lives < ent["lives"]:
                 terminated = True
             ent["lives"] = lives
-        return self._obs_conv(obs), float(reward), bool(terminated), bool(truncated)
+        return self._coerce_step(obs, reward, terminated, truncated)
+
+    def _safe_step(self, slot: int, ent, action, seed: int):
+        """Step one pool slot; an exception remakes the env and truncates the
+        episode ("step exception") instead of killing the whole compiled program
+        (parity: env_run.py:313-322). Under enable_assertion, raise instead."""
+        if self.enable_assertion:
+            return self._do_step(ent, action)
+        try:
+            return self._do_step(ent, action)
+        except Exception:
+            logger.warning(
+                "%s: exception in env.step on slot %d — recreating the env, "
+                "episode truncated (step exception)",
+                self.env_id, slot, exc_info=True,
+            )
+            _, obs = self._remake_slot(slot, seed)
+            return obs, 0.0, False, True
 
     # --- static metadata ----------------------------------------------------
     @property
@@ -349,6 +472,21 @@ class HostBatchedAutoReset:
                 obs.append(self._reset_with_noops(ent, int(seeds[i])))
             return jax.tree.map(lambda *xs: np.stack(xs), *obs)
 
+    def _safe_reset(self, slot, ent, seed):
+        """Reset one slot; an exception remakes the env (parity: remake covers
+        reset-time failures of flaky host envs too). Assertion mode raises."""
+        if self.env.enable_assertion:
+            return self._reset_with_noops(ent, seed)
+        try:
+            return self._reset_with_noops(ent, seed)
+        except Exception:
+            logger.warning(
+                "%s: exception in env.reset on slot %d — recreating the env",
+                self.env.env_id, slot, exc_info=True,
+            )
+            _, obs = self.env._remake_slot(slot, seed)
+            return obs
+
     def _reset_with_noops(self, ent, seed):
         obs = self.env._do_reset(ent, seed)
         if self.random_noop_max > 0:
@@ -367,17 +505,20 @@ class HostBatchedAutoReset:
         with env._lock:
             obs_l, rew_l, te_l, tr_l = [], [], [], []
             for i in range(self.B):
-                ent = env._get(self.slot0 + i)
+                slot = self.slot0 + i
+                ent = env._get(slot)
                 if bool(prev_done[i]):
-                    obs = self._reset_with_noops(ent, int(seeds[i]))
+                    obs = self._safe_reset(slot, ent, int(seeds[i]))
                     r, te, tr = 0.0, False, False
                 else:
                     a = jax.tree.map(lambda x: np.asarray(x)[i], actions)
-                    obs, r, te, tr = env._do_step(ent, a)
+                    obs, r, te, tr = env._safe_step(slot, ent, a, int(seeds[i]))
                     for _ in range(self.frameskip):
                         if te or tr:
                             break
-                        obs, r2, te, tr = env._do_step(ent, a)
+                        # a remake mid-frameskip truncates, exiting this loop
+                        ent = env._get(slot)
+                        obs, r2, te, tr = env._safe_step(slot, ent, a, int(seeds[i]))
                         r += r2
                 obs_l.append(obs)
                 rew_l.append(r)
