@@ -3,15 +3,25 @@
 within seed variance").
 
 Runs the reference (pocokhc/simple_distributed_rl at /root/reference, torch-CPU
-backend) and this framework on the same workloads with MATCHED TRAIN BUDGETS
-(gradient-update counts — the unit the reference's own long tests bound), multiple
-seeds, evaluating at curve checkpoints. Writes PARITY_CURVES.json + a markdown table.
+backend) and this framework on the same workloads with MATCHED CUMULATIVE TRAIN
+BUDGETS, multiple seeds, evaluating at curve checkpoints.
 
-PPO and R2D2 are TensorFlow-only in the reference and TF is not installed here, so
-their reference side is the PUBLISHED baseline bar at the published budget
-(CartPole >= 0 progression is replaced by our measured curve vs the env baseline).
+Honesty rules (round-3 verdict item 1):
+- Budgets are CUMULATIVE gradient-update counts on BOTH sides. The reference's
+  ``max_train_count`` is a PER-CALL budget (RunState.train_count restarts per play
+  call, base/context.py:346 + core_play.py:126), so the reference side trains the
+  per-checkpoint DELTA each call. (Round 3 accidentally gave the reference the
+  cumulative SUM of all checkpoints — 35k updates at the "20k" checkpoint.)
+- Tolerance comes from the REFERENCE seed band only (2*pstdev of the reference's
+  checkpoint values) plus a small absolute floor; our own seed variance can never
+  widen our own pass band.
+- Parity is asserted at EVERY checkpoint, not just the final one.
+- Ours runs the reference's own regime where it is a hyperparameter: 1 gradient
+  update per env step (core_play.py:187-194), the reference config's constant
+  epsilon/lr/capacity defaults.
 
-Usage:  PYTHONPATH=/root/repo:/root/reference python curve_parity.py [--quick]
+Usage:  PYTHONPATH=/root/repo:/root/reference python curve_parity.py
+          [--quick] [--only NAME] [--seeds 1,2,3] [--out PARITY_CURVES.json]
 """
 
 from __future__ import annotations
@@ -23,16 +33,24 @@ import sys
 
 
 def run_reference(algo: str, env: str, checkpoints, seed: int):
+    import numpy as np
+
     import srl
-    from srl.algorithms import dqn, ql, rainbow
 
     if algo == "QL":
+        from srl.algorithms import ql
+
         cfg = ql.Config()
     elif algo == "DQN":
+        from srl.algorithms import dqn
+
+        # base_dqn.py:33-36 long-test config
         cfg = dqn.Config(enable_double_dqn=False)
         cfg.hidden_block.set((64, 64))
         cfg.set_torch()
     elif algo == "Rainbow":
+        from srl.algorithms import rainbow
+
         cfg = rainbow.Config()
         cfg.hidden_block.set((64, 64))
         cfg.multisteps = 3
@@ -49,6 +67,37 @@ def run_reference(algo: str, env: str, checkpoints, seed: int):
         cfg.hidden_block.set_dueling_network((64, 64))
         cfg.memory.set_replay_buffer()
         cfg.set_torch()
+    elif algo == "Agent57":
+        # base_agent57.py:38-59 long-test config (torch backend available:
+        # agent57/__init__.py registers :torch)
+        from srl.algorithms import agent57
+
+        cfg = agent57.Config(
+            lstm_units=64, target_model_update_interval=100, enable_rescale=True,
+            batch_size=32, burnin=10, sequence_length=10, actor_num=2,
+            input_ext_reward=False, input_int_reward=False, input_action=False,
+            enable_intrinsic_reward=True,
+        )
+        cfg.hidden_block.set((64, 64))
+        cfg.lr_ext = 0.001
+        cfg.lr_int = 0.001
+        cfg.memory.set_replay_buffer()
+        cfg.set_torch()
+    elif algo == "DQN_NoT":
+        # base_dqn_not.py:25-29 (torch-only algorithm)
+        from srl.algorithms import dqn_not
+
+        cfg = dqn_not.Config(discount=0.9, lr=0.001)
+        cfg.base_units = 64
+    elif algo == "SAC_NoT":
+        # base_sac_not.py Pendulum_continue config (torch-only algorithm)
+        from srl.algorithms import sac_not
+
+        cfg = sac_not.Config(batch_size=64, discount=0.9, lr=0.0002)
+        cfg.set_model(128)
+        cfg.memory.warmup_size = 1000
+        cfg.memory.compress = False
+        cfg.loss_align_coeff = 0.2
     elif algo == "PPO_V":
         # base_ppo_v.py:38-48 (torch backend)
         from srl.algorithms import ppo_v
@@ -63,34 +112,37 @@ def run_reference(algo: str, env: str, checkpoints, seed: int):
     r.set_seed(seed)
     r.disable_stats()
     curve = []
+    prev = 0
     for tc in checkpoints:
-        r.train(max_train_count=tc)
-        import numpy as np
-
+        # cumulative budget: train the DELTA this call (per-call semantics)
+        r.train(max_train_count=tc - prev)
+        prev = tc
         curve.append(float(np.mean(r.evaluate(50))))
     return curve
 
 
 def run_ours(algo: str, env: str, checkpoints, seed: int):
-    import jax
-
     import simple_distributed_rl_tpu as srl2
-    from simple_distributed_rl_tpu.algorithms import DQNConfig, QLConfig, RainbowConfig
 
     if algo == "QL":
+        from simple_distributed_rl_tpu.algorithms import QLConfig
+
         cfg = QLConfig()
-        num_envs = 64
+        num_envs, chunk_steps, spc = 64, 16, 64
     elif algo == "DQN":
+        from simple_distributed_rl_tpu.algorithms import DQNConfig
+
+        # the reference regime verbatim: constant eps 0.1, lr 1e-3, capacity
+        # 100k, warmup 1000, target sync 1000, Huber, 1 update per env step
         cfg = DQNConfig(enable_double_dqn=False, hidden_sizes=(64, 64))
-        cfg.memory.capacity = 10_000
-        cfg.memory.warmup_size = 1000
-        cfg.epsilon_scheduler.set_linear(1.0, 0.1, 300)
-        num_envs = 64
+        num_envs, chunk_steps = 16, 8
+        spc = num_envs * chunk_steps  # 1:1 update:env-step
     elif algo == "Rainbow":
+        from simple_distributed_rl_tpu.algorithms import RainbowConfig
+
         cfg = RainbowConfig(hidden_sizes=(64, 64), multisteps=3)
-        cfg.memory.capacity = 10_000
-        cfg.memory.warmup_size = 1000
-        num_envs = 64
+        num_envs, chunk_steps = 16, 8
+        spc = num_envs * chunk_steps
     elif algo == "Agent57_light":
         from simple_distributed_rl_tpu.algorithms import Agent57LightConfig
 
@@ -99,21 +151,51 @@ def run_ours(algo: str, env: str, checkpoints, seed: int):
             actor_num=2, enable_intrinsic_reward=True, hidden_sizes=(64, 64),
         )
         cfg.memory.kind = "uniform"
-        num_envs = 64
+        num_envs, chunk_steps = 16, 8
+        spc = num_envs * chunk_steps
+    elif algo == "Agent57":
+        from simple_distributed_rl_tpu.algorithms import Agent57Config
+
+        cfg = Agent57Config(
+            lstm_units=64, target_model_update_interval=100, enable_rescale=True,
+            batch_size=32, burnin=10, sequence_length=10, actor_num=2,
+            enable_intrinsic_reward=True, hidden_sizes=(64, 64),
+            lr_ext=1e-3, lr_int=1e-3,
+        )
+        num_envs = 8
+        chunk_steps = cfg.required_chunk_steps  # pinned by the sequence window
+        spc = num_envs * chunk_steps
+    elif algo == "DQN_NoT":
+        from simple_distributed_rl_tpu.algorithms import NoTargetDQNConfig
+
+        cfg = NoTargetDQNConfig(discount=0.9, lr=0.001, hidden_sizes=(64, 64))
+        num_envs, chunk_steps = 16, 8
+        spc = num_envs * chunk_steps
+    elif algo == "SAC_NoT":
+        from simple_distributed_rl_tpu.algorithms import NoTargetSACConfig
+
+        cfg = NoTargetSACConfig(
+            batch_size=64, discount=0.9, hidden_sizes=(128, 128),
+            lr_policy=2e-4, lr_q=2e-4, lr_alpha=2e-4,
+        )
+        cfg.memory.warmup_size = 1000
+        num_envs, chunk_steps = 16, 8
+        spc = num_envs * chunk_steps
     elif algo == "PPO_V":
         from simple_distributed_rl_tpu.algorithms import PPOVConfig
 
         cfg = PPOVConfig(batch_size=64, discount=0.9, hidden_sizes=(64, 64))
-        num_envs = 64
+        num_envs, chunk_steps, spc = 64, 16, 64
     else:
         raise ValueError(algo)
     r = srl2.Runner(env, cfg, num_envs=num_envs, seed=seed)
     curve = []
     for tc in checkpoints:
-        # match the reference's budget unit: GRADIENT-UPDATE count
+        # cumulative budget: our stats train_count IS cumulative
         while True:
-            stats = r.train(max_steps=r.num_envs * 16, chunk_steps=16,
-                            train_steps_per_chunk=64, progress=False)
+            stats = r.train(max_steps=num_envs * chunk_steps * 4,
+                            chunk_steps=chunk_steps,
+                            train_steps_per_chunk=spc, progress=False)
             if stats.get("train_count", 0) >= tc:
                 break
         curve.append(float(r.evaluate(50)[0]))
@@ -121,17 +203,48 @@ def run_ours(algo: str, env: str, checkpoints, seed: int):
 
 
 WORKLOADS = {
-    # (algo, env, checkpoints by train_count, env reward bar); budgets follow the
-    # reference's own long tests (base_ql.py: 100k, base_dqn.py: 20k,
-    # base_rainbow.py: 14k)
+    # (algo, env, CUMULATIVE checkpoints by train_count, env reward bar);
+    # budgets follow the reference's own long tests (base_ql.py: 100k,
+    # base_dqn.py: 20k, base_rainbow.py: 14k, base_agent57.py: 10k,
+    # base_dqn_not.py: 20k, base_sac_not.py: 40k, base_ppo_v.py: 5k)
     "QL/Grid": ("QL", "Grid", [25_000, 50_000, 100_000], 0.65),
     "DQN/Pendulum-v1": ("DQN", "Pendulum-v1", [5_000, 10_000, 20_000], -500.0),
-    "Rainbow/Pendulum-v1": ("Rainbow", "Pendulum-v1", [5_000, 14_000], -500.0),
-    # both have torch backends in the reference (agent57_light/model_torch.py,
-    # ppo_v/torch_model.py); budgets from base_agent57_light.py / base_ppo_v.py
+    "Rainbow/Pendulum-v1": ("Rainbow", "Pendulum-v1", [7_000, 14_000], -500.0),
     "Agent57_light/Pendulum-v1": ("Agent57_light", "Pendulum-v1", [5_000, 10_000], -500.0),
+    "Agent57/Pendulum-v1": ("Agent57", "Pendulum-v1", [5_000, 10_000], -500.0),
+    "DQN_NoT/Pendulum-v1": ("DQN_NoT", "Pendulum-v1", [10_000, 20_000], -500.0),
+    "SAC_NoT/Pendulum-v1": ("SAC_NoT", "Pendulum-v1", [20_000, 40_000], -500.0),
     "PPO_V/EasyGrid": ("PPO_V", "EasyGrid", [2_000, 5_000], 0.9),
 }
+
+
+def judge(entry):
+    """Per-checkpoint parity with a reference-band-only tolerance."""
+    ref = entry["reference_curves"]
+    ours = entry["our_curves"]
+    n_ck = len(entry["checkpoints_train_count"])
+    per_ck = []
+    for i in range(n_ck):
+        ref_i = [c[i] for c in ref]
+        our_i = [c[i] for c in ours]
+        ref_mean = statistics.mean(ref_i)
+        our_mean = statistics.mean(our_i)
+        spread = statistics.pstdev(ref_i) if len(ref_i) > 1 else 0.0
+        floor = 0.05 * max(1.0, abs(ref_mean))
+        tol = max(2.0 * spread, floor)
+        per_ck.append({
+            "train_count": entry["checkpoints_train_count"][i],
+            "ref_mean": ref_mean,
+            "our_mean": our_mean,
+            "ref_band_tol": tol,
+            "pass": our_mean >= ref_mean - tol,
+        })
+    entry["per_checkpoint"] = per_ck
+    entry["ref_final_mean"] = per_ck[-1]["ref_mean"]
+    entry["our_final_mean"] = per_ck[-1]["our_mean"]
+    entry["tolerance"] = per_ck[-1]["ref_band_tol"]
+    entry["parity"] = all(c["pass"] for c in per_ck)
+    return entry
 
 
 def main():
@@ -140,39 +253,48 @@ def main():
     jax.config.update("jax_platforms", "cpu")  # parity runs are CPU-vs-CPU
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="QL only, 1 seed")
+    ap.add_argument("--only", default=None, help="run a single workload by name")
+    ap.add_argument("--seeds", default=None, help="comma list, default 1,2,3")
     ap.add_argument("--out", default="PARITY_CURVES.json")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge into an existing --out instead of overwriting")
     args = ap.parse_args()
 
     seeds = [1] if args.quick else [1, 2, 3]
+    if args.seeds:
+        seeds = [int(s) for s in args.seeds.split(",")]
     names = ["QL/Grid"] if args.quick else list(WORKLOADS)
+    if args.only:
+        names = [args.only]
 
     results = {}
+    if args.merge:
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except FileNotFoundError:
+            pass
     for name in names:
         algo, env, cks, bar = WORKLOADS[name]
         ref_curves = [run_reference(algo, env, cks, s) for s in seeds]
         our_curves = [run_ours(algo, env, cks, s) for s in seeds]
-        entry = {
+        entry = judge({
             "checkpoints_train_count": cks,
             "reference_curves": ref_curves,
             "our_curves": our_curves,
             "env_baseline": bar,
-        }
-        # parity: at the final checkpoint, ours within the seed band of the
-        # reference (or above it)
-        ref_final = [c[-1] for c in ref_curves]
-        our_final = [c[-1] for c in our_curves]
-        spread = max(statistics.pstdev(ref_final + our_final), 1e-6)
-        tol = max(2.0 * spread, 0.05 * max(1.0, abs(statistics.mean(ref_final))))
-        entry["ref_final_mean"] = statistics.mean(ref_final)
-        entry["our_final_mean"] = statistics.mean(our_final)
-        entry["tolerance"] = tol
-        entry["parity"] = entry["our_final_mean"] >= entry["ref_final_mean"] - tol
+            "seeds": seeds,
+            "budget_semantics": "cumulative train_count on both sides",
+            "tolerance_rule": "per-checkpoint max(2*pstdev(ref), 0.05*max(1,|ref_mean|))",
+        })
         results[name] = entry
-        print(f"{name}: ref={ref_final} ours={our_final} "
-              f"parity={'PASS' if entry['parity'] else 'FAIL'}", flush=True)
+        print(f"{name}: parity={'PASS' if entry['parity'] else 'FAIL'}")
+        for c in entry["per_checkpoint"]:
+            print(f"  @{c['train_count']}: ref={c['ref_mean']:.1f}±{c['ref_band_tol']:.1f} "
+                  f"ours={c['our_mean']:.1f} {'ok' if c['pass'] else 'FAIL'}", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
     ok = all(e["parity"] for e in results.values())
     print("ALL PARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1

@@ -414,7 +414,8 @@ class Agent57Config(AlgoConfig):
         q_sel = jnp.take_along_axis(q_on[:, :-1], act[:, :-1, None], -1)[..., 0]
         valid = 1.0 - es[:, 1:].astype(jnp.float32)
         td = (target - q_sel) * valid
-        return jnp.sum(jnp.square(td)) / jnp.maximum(jnp.sum(valid), 1.0)
+        # reference: q_criterion = HuberLoss (agent57/model_torch.py:258,487)
+        return jnp.sum(funcs.huber(td)) / jnp.maximum(jnp.sum(valid), 1.0)
 
     def train(self, state: A57FullState, key: Array, num_steps: int) -> Tuple[A57FullState, Dict[str, Array]]:
         def one_update(st: A57FullState, k):

@@ -468,7 +468,9 @@ class Agent57LightConfig(AlgoConfig):
                 q = self.q_net.apply(qp, *in_s)
                 qa = jnp.take_along_axis(q, item.t.action[:, None], -1)[:, 0]
                 td = tgt_ext - qa
-                return jnp.mean(weights * jnp.square(td)), td
+                # reference: q_criterion(target*w, q*w) with HuberLoss
+                # (agent57_light/model_torch.py:248,437)
+                return jnp.mean(funcs.huber(weights * td)), td
 
             (g_ext, td_ext) = jax.grad(ext_loss, has_aux=True)(st.params["q_ext"])
 
@@ -482,7 +484,7 @@ class Agent57LightConfig(AlgoConfig):
                 q = self.q_net.apply(p["q_int"], *in_s)
                 qa = jnp.take_along_axis(q, item.t.action[:, None], -1)[:, 0]
                 td = tgt_int - qa
-                l_q = jnp.mean(weights * jnp.square(td))
+                l_q = jnp.mean(funcs.huber(weights * td))
                 e1 = self.emb_net.apply(p["emb"], item.t.obs)
                 e2 = self.emb_net.apply(p["emb"], item.t.next_obs)
                 logits = self.emb_act.apply(p["emb_act"], e1, e2)

@@ -271,7 +271,8 @@ class GoExploreConfig(AlgoConfig):
             def loss_fn(p):
                 q = self.model.apply(p, batch.obs)
                 qa = jnp.take_along_axis(q, batch.action[:, None], -1)[:, 0]
-                return jnp.mean(jnp.square(qa - target))
+                # reference: keras.losses.Huber (go_explore/go_explore.py:60,71)
+                return jnp.mean(funcs.huber(qa - target))
 
             loss, grads = jax.value_and_grad(loss_fn)(st.params)
             if self.pmean_axis is not None:

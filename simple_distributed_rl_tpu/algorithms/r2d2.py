@@ -295,7 +295,8 @@ class R2D2Config(AlgoConfig):
         # steps whose successor starts a new episode have no valid target
         valid = 1.0 - es[:, 1:].astype(jnp.float32)
         td = (target - q_sel) * valid
-        return jnp.sum(jnp.square(td)) / jnp.maximum(jnp.sum(valid), 1.0)
+        # reference: keras.losses.Huber on the weighted Q (r2d2/r2d2.py:87,209)
+        return jnp.sum(funcs.huber(td)) / jnp.maximum(jnp.sum(valid), 1.0)
 
     def train(self, state: R2D2State, key: Array, num_steps: int) -> Tuple[R2D2State, Dict[str, Array]]:
         grad_fn = jax.value_and_grad(self._loss)

@@ -211,7 +211,8 @@ class RainbowConfig(AlgoConfig):
         q = jnp.take_along_axis(q_all, batch.action[:, None], axis=-1)[:, 0]
         target = self._target_q(params, target_params, item, key)
         td_error = target - q
-        return jnp.mean(weights * jnp.square(td_error)), td_error
+        # reference convention: HuberLoss(target*w, q*w) (rainbow/model_torch.py:74)
+        return jnp.mean(funcs.huber(weights * td_error)), td_error
 
     def train(self, state: RainbowState, key: Array, num_steps: int) -> Tuple[RainbowState, Dict[str, Array]]:
         grad_fn = jax.grad(self._loss, has_aux=True)

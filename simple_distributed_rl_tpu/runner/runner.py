@@ -67,6 +67,7 @@ class Runner:
         self._eval_fns: Dict[tuple, Any] = {}
         self._eval_calls = 0
         self._train_only_calls = 0
+        self._host_replay = None
         self.last_eval_info: Optional[Dict[str, int]] = None
         self._history_cb = None
 
@@ -119,6 +120,13 @@ class Runner:
         jax.profiler trace of the run (the tracing hook the reference lacks —
         SURVEY.md §5)."""
         assert max_steps or max_train_count or timeout, "need a stop condition"
+        if getattr(self.algo, "uses_host_replay", False):
+            return self._train_host_replay(
+                max_steps=max_steps, max_train_count=max_train_count,
+                timeout=timeout, chunk_steps=chunk_steps,
+                train_steps_per_chunk=train_steps_per_chunk,
+                callbacks=callbacks, progress=progress,
+            )
         # sequence algorithms (R2D2 family) pin the chunk length to their window size
         required = getattr(self.algo, "required_chunk_steps", None)
         if required is not None:
@@ -180,6 +188,86 @@ class Runner:
         if profile_dir:
             jax.block_until_ready(carry.env_steps)
             jax.profiler.stop_trace()
+        self._carry = carry
+        for c in callbacks:
+            c.on_end(self)
+        return stats
+
+    def _train_host_replay(
+        self,
+        max_steps: Optional[int] = None,
+        max_train_count: Optional[int] = None,
+        timeout: Optional[float] = None,
+        chunk_steps: int = 32,
+        train_steps_per_chunk: Optional[int] = None,
+        callbacks: Optional[List[RunCallback]] = None,
+        progress: bool = True,
+    ) -> Dict[str, Any]:
+        """Atari-scale train loop: jitted collect chunk -> host frame-dedup ring
+        ingest -> staged-batch jitted updates (memories/host_replay.py; parity:
+        the reference's 1M host ReplayBuffer driven by core_play,
+        srl/algorithms/dqn/dqn.py:89-102). The only host<->device traffic per
+        chunk is the collected uint8 transition pytree down and one [K, batch]
+        uint8 staging pytree up — no io_callback inside either graph."""
+        assert self.engine.P == 1, "host replay supports single-player envs"
+        K = train_steps_per_chunk
+        if K is None:
+            K = max(1, chunk_steps // self.algo.train_interval)
+        if self._host_replay is None:
+            self._host_replay = self.algo.make_host_replay(
+                self.num_envs, seed=self.seed ^ 0x51F1
+            )
+        replay = self._host_replay
+        collect_fn = self.engine.build_collect_chunk(chunk_steps)
+        train_fn = jax.jit(self.algo.train_on_staged)
+        warmup = self.algo.memory.warmup_size
+        batch_size = self.algo.batch_size
+
+        callbacks = list(callbacks or [])
+        if self._history_cb is not None:
+            callbacks.append(self._history_cb)
+        if progress:
+            callbacks.append(PrintProgress())
+        for c in callbacks:
+            c.on_start(self)
+
+        t0 = time.time()
+        carry = self.carry
+        tc0 = int(getattr(carry.algo_state, "train_count", 0))
+        stats: Dict[str, Any] = {}
+        ep0 = int(carry.episode_count)
+        while True:
+            carry, (transitions, masks, _views) = collect_fn(carry)
+            replay.ingest(*jax.device_get((transitions, masks)))
+            metrics = {}
+            if replay.size >= max(warmup, batch_size):
+                staged = jax.device_put(replay.sample_batches(K, batch_size))
+                algo_state, metrics = train_fn(carry.algo_state, staged)
+                carry = carry.replace(algo_state=algo_state)
+            self._carry = carry
+            stats = {
+                "env_steps": int(carry.env_steps),
+                "episode_count": int(carry.episode_count),
+                "memory_size": replay.size,
+                "elapsed": time.time() - t0,
+            }
+            ep = int(carry.episode_count)
+            if ep > ep0:
+                stats["mean_episode_reward"] = float(carry.episode_reward_sum[0]) / ep
+            for k, v in metrics.items():
+                stats[k] = float(np.asarray(v))
+            stop = False
+            for c in callbacks:
+                if c.on_chunk_end(self, stats) is False:
+                    stop = True
+            if timeout and stats["elapsed"] >= timeout:
+                stop = True
+            if max_steps and stats["env_steps"] >= max_steps:
+                stop = True
+            if max_train_count and stats.get("train_count", 0) - tc0 >= max_train_count:
+                stop = True
+            if stop:
+                break
         self._carry = carry
         for c in callbacks:
             c.on_end(self)
@@ -358,17 +446,29 @@ class Runner:
 
     def save_memory(self, path: str) -> None:
         """(parity: Runner.save_memory / RLMemory backup, srl/base/rl/memory.py:119-150)"""
+        if self._host_replay is not None:
+            save_compressed(self._host_replay.state_dict(), path)
+            return
         mem = getattr(self.algo_state, "memory", None)
         assert mem is not None, f"{self.algo.get_name()} has no memory"
         save_compressed(jax.device_get(mem), path)
 
     def load_memory(self, path: str) -> None:
+        if getattr(self.algo, "uses_host_replay", False):
+            if self._host_replay is None:
+                self._host_replay = self.algo.make_host_replay(
+                    self.num_envs, seed=self.seed ^ 0x51F1
+                )
+            self._host_replay.load_state_dict(load_compressed(path))
+            return
         mem = load_compressed(path)
         mem = jax.tree.map(jnp.asarray, mem)
         self._carry = self.carry.replace(algo_state=self.algo_state.replace(memory=mem))
 
     def memory_size(self) -> int:
         """Live replay size (parity: RLMemory.length, srl/base/rl/memory.py)."""
+        if self._host_replay is not None:
+            return self._host_replay.size
         mem = getattr(self.algo_state, "memory", None)
         assert mem is not None, f"{self.algo.get_name()} has no memory"
         size = getattr(mem, "size", None)
