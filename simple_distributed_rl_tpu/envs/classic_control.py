@@ -27,6 +27,9 @@ class VecState:
 class CartPole(EnvCore):
     """Standard CartPole-v1 dynamics (Barto-Sutton-Anderson; euler, tau=0.02)."""
 
+    # truncate AT max steps like gymnasium's TimeLimit (see AutoResetEnv)
+    gym_time_limit = True
+
     gravity = 9.8
     masscart = 1.0
     masspole = 0.1
@@ -91,6 +94,9 @@ class CartPole(EnvCore):
 class Pendulum(EnvCore):
     """Standard Pendulum-v1: swing-up with torque in [-2, 2]."""
 
+    # truncate AT max steps like gymnasium's TimeLimit (see AutoResetEnv)
+    gym_time_limit = True
+
     max_speed = 8.0
     max_torque = 2.0
     dt = 0.05
@@ -144,6 +150,9 @@ class Pendulum(EnvCore):
 class MountainCar(EnvCore):
     """Standard MountainCar-v0."""
 
+    # truncate AT max steps like gymnasium's TimeLimit (see AutoResetEnv)
+    gym_time_limit = True
+
     min_position = -1.2
     max_position = 0.6
     max_speed = 0.07
@@ -184,6 +193,9 @@ class MountainCar(EnvCore):
 
 class Acrobot(EnvCore):
     """Standard Acrobot-v1 (RK4 as in gymnasium, book_or_nips='book')."""
+
+    # truncate AT max steps like gymnasium's TimeLimit (see AutoResetEnv)
+    gym_time_limit = True
 
     dt = 0.2
     LINK_LENGTH_1 = 1.0

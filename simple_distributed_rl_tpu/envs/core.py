@@ -169,6 +169,13 @@ class AutoResetEnv:
         self.max_episode_steps = int(max_episode_steps or env.max_episode_steps)
         self.frameskip = int(frameskip)
         self.random_noop_max = int(random_noop_max)
+        # truncation convention: the reference's EnvRun rule is strictly-greater
+        # (env_run.py:361 — an episode runs max+1 steps), but envs that mirror a
+        # gymnasium id (native CartPole/Pendulum/...) declare gym_time_limit so
+        # episodes truncate AT max like gym's TimeLimit wrapper does — otherwise
+        # the native env scores one extra step of reward/cost per episode vs the
+        # gym env the reference actually runs (round-4 parity finding)
+        self.gym_time_limit = bool(getattr(env, "gym_time_limit", False))
 
     def _noop_reset(self, key: Array):
         env_state, ts = self.env.reset(key)
@@ -268,8 +275,10 @@ class AutoResetEnv:
             env_state, ts = self._skip_step(state.env_state, action, key_step)
             step_num = state.step_num + 1
             # strictly-greater comparison matches the reference (env_run.py:361): an episode
-            # runs at most max_episode_steps + 1 steps
-            truncated = jnp.logical_or(ts.truncated, step_num > self.max_episode_steps)
+            # runs at most max_episode_steps + 1 steps; gym_time_limit envs instead
+            # truncate AT max, matching gymnasium's TimeLimit (see __init__)
+            cap = self.max_episode_steps - 1 if self.gym_time_limit else self.max_episode_steps
+            truncated = jnp.logical_or(ts.truncated, step_num > cap)
             ts = ts.replace(truncated=jnp.logical_and(truncated, jnp.logical_not(ts.terminated)))
             ep_reward = state.episode_reward + ts.rewards
             done = jnp.logical_or(ts.terminated, ts.truncated)

@@ -240,12 +240,30 @@ def test_autoreset():
 
 
 def test_autoreset_truncation():
+    # gym-mirror envs truncate AT max like gymnasium's TimeLimit (otherwise the
+    # native env scores one extra step per episode vs the gym env the reference
+    # actually runs — round-4 parity finding)
     env = make("Pendulum-v1", max_steps=5)
     aenv = AutoResetEnv(env)
+    assert aenv.gym_time_limit
     state, ts = aenv.reset(jax.random.PRNGKey(0))
-    for i in range(6):  # reference semantics: truncation after max_episode_steps + 1
+    for i in range(5):
+        assert not bool(ts.truncated)
         state, ts = aenv.step(state, ts, jnp.zeros((1,)), jax.random.PRNGKey(i))
     assert bool(ts.truncated) and not bool(ts.terminated)
+
+    # built-in (non-gym) envs keep the reference EnvRun rule: max + 1 steps
+    class NonGymPendulum(type(env)):
+        gym_time_limit = False
+
+    g = AutoResetEnv(NonGymPendulum(max_steps=5))
+    assert not g.gym_time_limit
+    state, ts = g.reset(jax.random.PRNGKey(0))
+    for i in range(5):
+        state, ts = g.step(state, ts, jnp.zeros((1,)), jax.random.PRNGKey(i))
+    assert not bool(ts.truncated)  # 5 steps done, still running
+    state, ts = g.step(state, ts, jnp.zeros((1,)), jax.random.PRNGKey(9))
+    assert bool(ts.truncated)  # truncates on step 6 = max + 1
 
 
 def test_backup_restore_is_free():
