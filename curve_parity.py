@@ -152,6 +152,7 @@ def run_ours(algo: str, env: str, checkpoints, seed: int):
         cfg = Agent57LightConfig(
             target_model_update_interval=100, lr_ext=1e-3, lr_int=1e-3,
             actor_num=2, enable_intrinsic_reward=True, hidden_sizes=(64, 64),
+            input_ext_reward=False, input_int_reward=False, input_action=False,
         )
         cfg.memory.kind = "uniform"
         num_envs, chunk_steps = 4, 4
@@ -164,6 +165,7 @@ def run_ours(algo: str, env: str, checkpoints, seed: int):
             batch_size=32, burnin=10, sequence_length=10, actor_num=2,
             enable_intrinsic_reward=True, hidden_sizes=(64, 64),
             lr_ext=1e-3, lr_int=1e-3,
+            input_ext_reward=False, input_int_reward=False, input_action=False,
         )
         num_envs = 8
         chunk_steps = cfg.required_chunk_steps  # pinned by the sequence window

@@ -40,11 +40,25 @@ class UVFALSTMQNet(nn.Module):
     input_block: InputBlockConfig
     lstm_units: int
     hidden: Tuple[int, ...]
+    # UVFA input toggles (parity: agent57 config input_ext_reward /
+    # input_int_reward / input_action; the reference's Pendulum long test
+    # disables all three, base_agent57.py:38-59)
+    input_ext_reward: bool = True
+    input_int_reward: bool = True
+    input_action: bool = True
 
     @nn.compact
     def __call__(self, carry, obs, prev_r_ext, prev_r_int, prev_a_onehot, actor_onehot):
         x = self.input_block.create_block(self.obs_space)(jnp.asarray(obs, jnp.float32))
-        x = jnp.concatenate([x, prev_r_ext, prev_r_int, prev_a_onehot, actor_onehot], -1)
+        feats = [x]
+        if self.input_ext_reward:
+            feats.append(prev_r_ext)
+        if self.input_int_reward:
+            feats.append(prev_r_int)
+        if self.input_action:
+            feats.append(prev_a_onehot)
+        feats.append(actor_onehot)
+        x = jnp.concatenate(feats, -1)
         x = MLPBlock(self.hidden)(x)
         carry, h = nn.OptimizedLSTMCell(self.lstm_units)(carry, x)
         q = DuelingHead(self.num_actions)(h)
@@ -119,6 +133,10 @@ class Agent57Config(AlgoConfig):
     episodic_pseudo_counts: float = 0.1
     lifelong_max: float = 5.0
     emb_dim: int = 32
+    #: UVFA input toggles (parity: agent57 config)
+    input_ext_reward: bool = True
+    input_int_reward: bool = True
+    input_action: bool = True
     burnin: int = 5
     sequence_length: int = 10
     lstm_units: int = 64
@@ -142,7 +160,10 @@ class Agent57Config(AlgoConfig):
     def on_setup(self) -> None:
         A, N = self.action_space.n, self.actor_num
         self.q_net = UVFALSTMQNet(
-            A, N, self.obs_space, self.input_block, self.lstm_units, self.hidden_sizes
+            A, N, self.obs_space, self.input_block, self.lstm_units, self.hidden_sizes,
+            input_ext_reward=self.input_ext_reward,
+            input_int_reward=self.input_int_reward,
+            input_action=self.input_action,
         )
         self.emb_net = EmbedNet(self.obs_space, self.input_block, self.emb_dim)
         self.emb_act = EmbActionHead(A)

@@ -46,11 +46,26 @@ class UVFAQNet(nn.Module):
     input_block: InputBlockConfig
     hidden: Tuple[int, ...]
     dueling: bool = True
+    # UVFA input toggles (parity: the reference config's input_ext_reward /
+    # input_int_reward / input_action — its own Pendulum long test DISABLES all
+    # three, base_agent57_light.py:33-46; un-normalized reward inputs measurably
+    # slow early learning)
+    input_ext_reward: bool = True
+    input_int_reward: bool = True
+    input_action: bool = True
 
     @nn.compact
     def __call__(self, obs, prev_r_ext, prev_r_int, prev_a_onehot, actor_onehot):
         x = self.input_block.create_block(self.obs_space)(jnp.asarray(obs, jnp.float32))
-        x = jnp.concatenate([x, prev_r_ext, prev_r_int, prev_a_onehot, actor_onehot], axis=-1)
+        feats = [x]
+        if self.input_ext_reward:
+            feats.append(prev_r_ext)
+        if self.input_int_reward:
+            feats.append(prev_r_int)
+        if self.input_action:
+            feats.append(prev_a_onehot)
+        feats.append(actor_onehot)
+        x = jnp.concatenate(feats, axis=-1)
         x = MLPBlock(self.hidden)(x)
         if self.dueling:
             return DuelingHead(self.num_actions)(x)
@@ -155,6 +170,11 @@ class Agent57LightConfig(AlgoConfig):
     episodic_pseudo_counts: float = 0.1
     lifelong_max: float = 5.0
     emb_dim: int = 32
+    #: UVFA input toggles (parity: agent57_light config input_ext_reward /
+    #: input_int_reward / input_action)
+    input_ext_reward: bool = True
+    input_int_reward: bool = True
+    input_action: bool = True
     input_block: InputBlockConfig = dataclasses.field(default_factory=InputBlockConfig)
     hidden_sizes: Tuple[int, ...] = (64, 64)
 
@@ -173,7 +193,12 @@ class Agent57LightConfig(AlgoConfig):
             isinstance(self._replay, DemoMixedReplayBuffer)
         )
         A, N = self.action_space.n, self.actor_num
-        self.q_net = UVFAQNet(A, N, self.obs_space, self.input_block, self.hidden_sizes)
+        self.q_net = UVFAQNet(
+            A, N, self.obs_space, self.input_block, self.hidden_sizes,
+            input_ext_reward=self.input_ext_reward,
+            input_int_reward=self.input_int_reward,
+            input_action=self.input_action,
+        )
         self.emb_net = EmbedNet(self.obs_space, self.input_block, self.emb_dim)
         self.emb_act = EmbActionHead(A)
         self.rnd_net = RNDNet(self.obs_space, self.input_block)
