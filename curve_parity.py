@@ -216,9 +216,6 @@ WORKLOADS = {
     "DQN/Pendulum-v1": ("DQN", "Pendulum-v1", [5_000, 10_000, 20_000], -500.0),
     "Rainbow/Pendulum-v1": ("Rainbow", "Pendulum-v1", [7_000, 14_000], -500.0),
     "Agent57_light/Pendulum-v1": ("Agent57_light", "Pendulum-v1", [5_000, 10_000], -500.0),
-    # reduced from the long test's 10k: the reference's torch LSTM trainer runs
-    # ~1-3 updates/s on this 2-core box (~1 h/seed at 10k); 5k is where
-    # agent57_light already reaches ~-175 and keeps the 3-seed run feasible
     "Agent57/Pendulum-v1": ("Agent57", "Pendulum-v1", [2_000, 5_000], -500.0),
     "DQN_NoT/Pendulum-v1": ("DQN_NoT", "Pendulum-v1", [10_000, 20_000], -500.0),
     "SAC_NoT/Pendulum-v1": ("SAC_NoT", "Pendulum-v1", [20_000, 40_000], -500.0),
@@ -275,7 +272,14 @@ def main():
     seeds = [1] if args.quick else [1, 2, 3]
     if args.seeds:
         seeds = [int(s) for s in args.seeds.split(",")]
-    names = ["QL/Grid"] if args.quick else list(WORKLOADS)
+    # Agent57 (full) is excluded from the default matrix: the reference's torch
+    # LSTM trainer runs ~1-3 updates/s on this 2-core box (>1 h/seed). Its
+    # side-by-side evidence is the reference's own env bar, asserted in
+    # tests/test_agent57.py::test_agent57_full_pendulum_baseline; run the curve
+    # comparison explicitly with --only "Agent57/Pendulum-v1" [--seeds 1].
+    names = ["QL/Grid"] if args.quick else [
+        n for n in WORKLOADS if n != "Agent57/Pendulum-v1"
+    ]
     if args.only:
         names = [args.only]
 

@@ -238,10 +238,7 @@ class DQNConfig(AlgoConfig):
         # reference's criterion(target_q*w, q*w) with nn.HuberLoss(delta=1)
         # (dqn/model_torch.py:80,115; model_tf.py:29,41). Squared loss here cost a
         # real 2x convergence gap on Pendulum (round-3 verdict weak #1).
-        werr = weights * td_error
-        loss = jnp.mean(
-            jnp.where(jnp.abs(werr) <= 1.0, 0.5 * jnp.square(werr), jnp.abs(werr) - 0.5)
-        )
+        loss = jnp.mean(funcs.huber(weights * td_error))
         return loss, td_error
 
     def make_host_replay(self, num_envs: int, seed: int = 0):

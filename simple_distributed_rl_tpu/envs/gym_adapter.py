@@ -332,11 +332,14 @@ class GymnasiumEnv(EnvCore):
             ent["lives"] = self._ale_lives(ent["env"])
         if self.enable_sanitize and not self.enable_assertion:
             try:
-                return self._sanitize_obs(self._obs_conv(obs))
+                out = self._sanitize_obs(self._obs_conv(obs))
             except Exception as e:
                 logger.error("%s: reset obs conversion failed (%s)", self.env_id, e)
-                return self._default_obs()
-        return self._obs_conv(obs)
+                out = self._default_obs()
+        else:
+            out = self._obs_conv(obs)
+        ent["last_obs"] = out
+        return out
 
     def _do_step(self, ent, action):
         obs, reward, terminated, truncated, _ = ent["env"].step(self._act_conv(action))
@@ -345,7 +348,9 @@ class GymnasiumEnv(EnvCore):
             if lives < ent["lives"]:
                 terminated = True
             ent["lives"] = lives
-        return self._coerce_step(obs, reward, terminated, truncated)
+        out = self._coerce_step(obs, reward, terminated, truncated)
+        ent["last_obs"] = out[0]
+        return out
 
     def _safe_step(self, slot: int, ent, action, seed: int):
         """Step one pool slot; an exception remakes the env and truncates the
@@ -361,8 +366,13 @@ class GymnasiumEnv(EnvCore):
                 "episode truncated (step exception)",
                 self.env_id, slot, exc_info=True,
             )
-            _, obs = self._remake_slot(slot, seed)
-            return obs, 0.0, False, True
+            # report the slot's LAST GOOD observation as the truncated episode's
+            # final state — truncation bootstraps (undone=1), so handing back the
+            # rebuilt env's reset obs would regress Q toward a cross-episode
+            # value (round-4 reviewer finding)
+            last = ent.get("last_obs")
+            self._remake_slot(slot, seed)
+            return (last if last is not None else self._default_obs()), 0.0, False, True
 
     # --- static metadata ----------------------------------------------------
     @property

@@ -141,7 +141,6 @@ class HostFrameReplay:
         """[K, batch] staged sample: dict of numpy arrays shaped [K, batch, ...]
         ready for one device_put. Uniform over retained rows, excluding the
         oldest W-1 rows of a wrapped ring (their history frames are overwritten)."""
-        counts = np.minimum(self.head, self.rows)
         lo = np.where(self.head > self.rows, self.head - self.rows + (self.W - 1), 0)
         hi = self.head  # exclusive
         assert np.all(hi > lo), "sample from an empty replay"

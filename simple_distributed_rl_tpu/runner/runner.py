@@ -68,6 +68,7 @@ class Runner:
         self._eval_calls = 0
         self._train_only_calls = 0
         self._host_replay = None
+        self._host_fns = None
         self.last_eval_info: Optional[Dict[str, int]] = None
         self._history_cb = None
 
@@ -121,22 +122,27 @@ class Runner:
         SURVEY.md §5)."""
         assert max_steps or max_train_count or timeout, "need a stop condition"
         if getattr(self.algo, "uses_host_replay", False):
+            assert chunks_per_call == 1, (
+                "host-replay training ingests on the host between chunks; "
+                "chunks_per_call amortization does not apply"
+            )
             return self._train_host_replay(
                 max_steps=max_steps, max_train_count=max_train_count,
                 timeout=timeout, chunk_steps=chunk_steps,
                 train_steps_per_chunk=train_steps_per_chunk,
-                callbacks=callbacks, progress=progress,
+                callbacks=callbacks, progress=progress, profile_dir=profile_dir,
             )
         # sequence algorithms (R2D2 family) pin the chunk length to their window size
         required = getattr(self.algo, "required_chunk_steps", None)
         if required is not None:
             chunk_steps = required
-        if self._chunk_fn is None or self._chunk_steps != (chunk_steps, chunks_per_call):
+        cache_key = (chunk_steps, train_steps_per_chunk, chunks_per_call)
+        if self._chunk_fn is None or self._chunk_steps != cache_key:
             self._chunk_fn = self.engine.build_chunk(
                 chunk_steps, train_steps_per_chunk, training=True,
                 chunks_per_call=chunks_per_call,
             )
-            self._chunk_steps = (chunk_steps, chunks_per_call)
+            self._chunk_steps = cache_key
 
         callbacks = list(callbacks or [])
         if self._history_cb is not None:
@@ -202,6 +208,7 @@ class Runner:
         train_steps_per_chunk: Optional[int] = None,
         callbacks: Optional[List[RunCallback]] = None,
         progress: bool = True,
+        profile_dir: Optional[str] = None,
     ) -> Dict[str, Any]:
         """Atari-scale train loop: jitted collect chunk -> host frame-dedup ring
         ingest -> staged-batch jitted updates (memories/host_replay.py; parity:
@@ -213,13 +220,16 @@ class Runner:
         K = train_steps_per_chunk
         if K is None:
             K = max(1, chunk_steps // self.algo.train_interval)
-        if self._host_replay is None:
-            self._host_replay = self.algo.make_host_replay(
-                self.num_envs, seed=self.seed ^ 0x51F1
+        replay = self._ensure_host_replay()
+        # cache the compiled pair like the regular train path does — repeated
+        # train() calls (checkpoint curves, staged recipes) must not retrace
+        if self._host_fns is None or self._host_fns[0] != (chunk_steps, K):
+            self._host_fns = (
+                (chunk_steps, K),
+                self.engine.build_collect_chunk(chunk_steps),
+                jax.jit(self.algo.train_on_staged),
             )
-        replay = self._host_replay
-        collect_fn = self.engine.build_collect_chunk(chunk_steps)
-        train_fn = jax.jit(self.algo.train_on_staged)
+        _, collect_fn, train_fn = self._host_fns
         warmup = self.algo.memory.warmup_size
         batch_size = self.algo.batch_size
 
@@ -236,6 +246,8 @@ class Runner:
         tc0 = int(getattr(carry.algo_state, "train_count", 0))
         stats: Dict[str, Any] = {}
         ep0 = int(carry.episode_count)
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         while True:
             carry, (transitions, masks, _views) = collect_fn(carry)
             replay.ingest(*jax.device_get((transitions, masks)))
@@ -268,10 +280,20 @@ class Runner:
                 stop = True
             if stop:
                 break
+        if profile_dir:
+            jax.block_until_ready(carry.env_steps)
+            jax.profiler.stop_trace()
         self._carry = carry
         for c in callbacks:
             c.on_end(self)
         return stats
+
+    def _ensure_host_replay(self):
+        if self._host_replay is None:
+            self._host_replay = self.algo.make_host_replay(
+                self.num_envs, seed=self.seed ^ 0x51F1
+            )
+        return self._host_replay
 
     def train_mp(
         self,
@@ -446,8 +468,8 @@ class Runner:
 
     def save_memory(self, path: str) -> None:
         """(parity: Runner.save_memory / RLMemory backup, srl/base/rl/memory.py:119-150)"""
-        if self._host_replay is not None:
-            save_compressed(self._host_replay.state_dict(), path)
+        if getattr(self.algo, "uses_host_replay", False):
+            save_compressed(self._ensure_host_replay().state_dict(), path)
             return
         mem = getattr(self.algo_state, "memory", None)
         assert mem is not None, f"{self.algo.get_name()} has no memory"
@@ -455,11 +477,7 @@ class Runner:
 
     def load_memory(self, path: str) -> None:
         if getattr(self.algo, "uses_host_replay", False):
-            if self._host_replay is None:
-                self._host_replay = self.algo.make_host_replay(
-                    self.num_envs, seed=self.seed ^ 0x51F1
-                )
-            self._host_replay.load_state_dict(load_compressed(path))
+            self._ensure_host_replay().load_state_dict(load_compressed(path))
             return
         mem = load_compressed(path)
         mem = jax.tree.map(jnp.asarray, mem)
@@ -467,8 +485,8 @@ class Runner:
 
     def memory_size(self) -> int:
         """Live replay size (parity: RLMemory.length, srl/base/rl/memory.py)."""
-        if self._host_replay is not None:
-            return self._host_replay.size
+        if getattr(self.algo, "uses_host_replay", False):
+            return self._ensure_host_replay().size
         mem = getattr(self.algo_state, "memory", None)
         assert mem is not None, f"{self.algo.get_name()} has no memory"
         size = getattr(mem, "size", None)
@@ -483,12 +501,18 @@ class Runner:
     ) -> Dict[str, Any]:
         """Collect experience without training (parity: Runner.rollout,
         srl/runner/runner.py:185 — supports both ``max_steps`` and the reference's
-        ``max_memory`` stop condition)."""
+        ``max_memory`` stop condition). On a host-replay config (storage
+        "host_frames") the collected chunks are ingested into the host ring."""
         assert max_steps or max_memory, "need a stop condition"
         required = getattr(self.algo, "required_chunk_steps", None)
         if required is not None:
             chunk_steps = required
-        fn = self.engine.build_chunk(chunk_steps, 0, training=True)
+        host = getattr(self.algo, "uses_host_replay", False)
+        if host:
+            replay = self._ensure_host_replay()
+            fn = self.engine.build_collect_chunk(chunk_steps)
+        else:
+            fn = self.engine.build_chunk(chunk_steps, 0, training=True)
         carry = self.carry
         stalled = 0
         prev_size = -1
@@ -509,7 +533,11 @@ class Runner:
                         f"rollout: memory size stuck at {size} < max_memory="
                         f"{max_memory} (capacity too small?)"
                     )
-            carry, _ = fn(carry)
+            if host:
+                carry, (transitions, masks, _views) = fn(carry)
+                replay.ingest(*jax.device_get((transitions, masks)))
+            else:
+                carry, _ = fn(carry)
         self._carry = carry
         out = {"env_steps": int(carry.env_steps)}
         if max_memory:

@@ -172,3 +172,30 @@ def test_atari_preset_capacity_math_and_save_load(tmp_path):
     s1 = rep.sample_batches(2, 4)
     s2 = rep2.sample_batches(2, 4)
     assert s1["obs"].shape == s2["obs"].shape
+
+
+def test_rollout_and_memory_api_route_to_host_replay(tmp_path):
+    """rollout(max_memory=), memory_size(), save/load_memory all operate on the
+    host ring for host_frames configs (round-4 reviewer finding: rollout
+    silently discarded transitions and save_memory wrote an empty tuple)."""
+    env = _pixels_env()
+    cfg = DQNConfig(hidden_sizes=(8,), batch_size=4, window_length=4)
+    cfg.input_block.set_dqn_block()
+    cfg.memory.storage = "host_frames"
+    cfg.memory.capacity = 4_000
+    cfg.memory.warmup_size = 200
+    r = srl.Runner(env, cfg, num_envs=4, seed=2, max_episode_steps=20)
+    out = r.rollout(max_memory=500, chunk_steps=8)
+    assert out["memory_size"] >= 500
+    assert r.memory_size() >= 500
+    p = str(tmp_path / "mem.pkl.xz")
+    r.save_memory(p)
+    r2 = srl.Runner(env, cfg, num_envs=4, seed=9, max_episode_steps=20)
+    assert r2.memory_size() == 0
+    r2.load_memory(p)
+    assert r2.memory_size() == r.memory_size()
+    # offline: train_only has no host-replay path (the reference trains host
+    # replays through the train loop); staged training picks the memory up
+    stats = r2.train(max_steps=200, chunk_steps=8, train_steps_per_chunk=4,
+                     progress=False)
+    assert stats["train_count"] > 0
