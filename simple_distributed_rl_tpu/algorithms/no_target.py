@@ -34,6 +34,11 @@ Array = jax.Array
 
 
 class QVNet(nn.Module):
+    """Trunk -> dueling-composed Q plus the V stream exposed separately —
+    exactly the reference's QNetwork (dqn_not/parameter.py:16-44: shared
+    Linear(units)+ReLU trunk, two-layer v/adv blocks, q = v + adv - mean(adv),
+    and the bootstrap later averages (max_q + v)/2)."""
+
     num_actions: int
     obs_space: Any
     input_block: InputBlockConfig
@@ -43,9 +48,11 @@ class QVNet(nn.Module):
     def __call__(self, x):
         h = self.input_block.create_block(self.obs_space)(jnp.asarray(x, jnp.float32))
         h = MLPBlock(self.hidden)(h)
-        q = nn.Dense(self.num_actions)(h)
-        v = nn.Dense(1)(h)[..., 0]
-        return q, v
+        units = self.hidden[-1]
+        v = nn.Dense(1)(nn.relu(nn.Dense(units)(h)))
+        adv = nn.Dense(self.num_actions)(nn.relu(nn.Dense(units)(h)))
+        q = v + adv - jnp.mean(adv, axis=-1, keepdims=True)
+        return q, v[..., 0]
 
 
 @struct.dataclass
