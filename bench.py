@@ -213,7 +213,7 @@ def bench_atari_host_replay(make_env, num_envs=128, chunk_steps=32, K=32,
     runner = srl.Runner(make_env(), cfg, num_envs=num_envs, seed=0)
     replay = cfg.make_host_replay(num_envs)
     runner._host_replay = replay
-    collect_fn = runner.engine.build_collect_chunk(chunk_steps)
+    collect_fn = runner.engine.build_collect_chunk(chunk_steps, compact_frames=True)
     train_fn = jax.jit(cfg.train_on_staged)
 
     def sync(c):
@@ -223,7 +223,7 @@ def bench_atari_host_replay(make_env, num_envs=128, chunk_steps=32, K=32,
     load_before = _load_context()
     t0 = time.perf_counter()
     while replay.size < cfg.memory.warmup_size:
-        carry, (tr, mask, _v) = collect_fn(carry)
+        carry, (tr, mask) = collect_fn(carry)
         replay.ingest(*jax.device_get((tr, mask)))
     staged = jax.device_put(replay.sample_batches(K, cfg.batch_size))
     algo_state, _ = train_fn(carry.algo_state, staged)
@@ -235,7 +235,7 @@ def bench_atari_host_replay(make_env, num_envs=128, chunk_steps=32, K=32,
     t0 = time.perf_counter()
     for _ in range(bench_chunks):
         t = time.perf_counter()
-        carry, (tr, mask, _v) = collect_fn(carry)
+        carry, (tr, mask) = collect_fn(carry)
         host = jax.device_get((tr, mask))
         t_collect += time.perf_counter() - t
         t = time.perf_counter()

@@ -82,19 +82,30 @@ class HostFrameReplay:
         self.head[b] += 1
 
     def ingest(self, transitions, mask) -> None:
-        """Consume one collect-chunk's host pytree: transitions [T, B*(1+P), ...],
-        mask [T, B*(1+P)]. Rows are processed in engine order (time-major; within a
-        step the main slot precedes the flush slots), so per-env rows are
-        consecutive in-episode steps."""
-        obs = np.asarray(transitions.obs)
-        next_obs = np.asarray(transitions.next_obs)
-        action = np.asarray(transitions.action)
-        reward = np.asarray(transitions.reward)
-        undone = np.asarray(transitions.undone)
+        """Consume one collect-chunk's host pytree: either a full Transition
+        (window-stacked obs [T, B*(1+P), W, ...]) or the COMPACT dict produced by
+        build_collect_chunk(compact_frames=True) — {obs_newest, next_newest,
+        action, reward, undone} with the frames already deduped on device (the
+        4x-smaller d2h payload). Rows are processed in engine order (time-major;
+        within a step the main slot precedes the flush slots), so per-env rows
+        are consecutive in-episode steps."""
+        if isinstance(transitions, dict):
+            obs = np.asarray(transitions["obs_newest"])
+            next_obs = np.asarray(transitions["next_newest"])
+            action = np.asarray(transitions["action"])
+            reward = np.asarray(transitions["reward"])
+            undone = np.asarray(transitions["undone"])
+        else:
+            newest = self.W - 1
+            sel = (lambda x: np.asarray(x)[:, :, newest]) if self.W > 1 else np.asarray
+            obs = sel(transitions.obs)
+            next_obs = sel(transitions.next_obs)
+            action = np.asarray(transitions.action)
+            reward = np.asarray(transitions.reward)
+            undone = np.asarray(transitions.undone)
         mask = np.asarray(mask)
         T, S = mask.shape
         P1 = S // self.num_envs  # 1 + P slots per env
-        newest = self.W - 1
         for t in range(T):
             for b in range(self.num_envs):
                 base = b * P1
@@ -103,8 +114,8 @@ class HostFrameReplay:
                         self._s[b] = 0
                         self._gap[b] = False
                     self._write(
-                        b, int(self._s[b]), obs[t, base, newest],
-                        next_obs[t, base, newest], action[t, base],
+                        b, int(self._s[b]), obs[t, base],
+                        next_obs[t, base], action[t, base],
                         reward[t, base], undone[t, base],
                     )
                     self._s[b] += 1
@@ -117,8 +128,8 @@ class HostFrameReplay:
                             self._s[b] = 0
                             self._gap[b] = False
                         self._write(
-                            b, int(self._s[b]), obs[t, row, newest],
-                            next_obs[t, row, newest], action[t, row],
+                            b, int(self._s[b]), obs[t, row],
+                            next_obs[t, row], action[t, row],
                             reward[t, row], undone[t, row],
                         )
                         self._s[b] = 0

@@ -567,12 +567,18 @@ class PlayEngine:
 
         return jax.jit(multi_chunk)
 
-    def build_collect_chunk(self, chunk_steps: int):
+    def build_collect_chunk(self, chunk_steps: int, compact_frames: bool = False):
         """Compile an EXPERIENCE-COLLECTION chunk for distributed actors: T lockstep
         rollout steps with the training policy, returning the raw experience pytree
         instead of ingesting it (the remote trainer owns the replay). This is the
         TPU-native form of the reference's actor-side memory interceptor
-        (srl/runner/distribution/server_actor.py memory sender + play loop)."""
+        (srl/runner/distribution/server_actor.py memory sender + play loop).
+
+        ``compact_frames=True`` dedups ON DEVICE before the host transfer: the
+        window-stacked obs/next_obs (W-fold redundant) are reduced to their
+        newest frames inside the jit, so the d2h payload for a W=4 Atari chunk
+        shrinks 4x — host frame-dedup replay reconstructs the stacks exactly
+        (memories/host_replay.py). Returns (carry, (compact_dict, mask))."""
 
         def collect(carry: EngineState):
             def body(c, _):
@@ -581,6 +587,17 @@ class PlayEngine:
             carry, (transitions, masks, step_views) = jax.lax.scan(
                 body, carry, None, length=chunk_steps
             )
+            if compact_frames:
+                W = self.W
+                newest = (lambda x: x[:, :, W - 1]) if W > 1 else (lambda x: x)
+                compact = {
+                    "obs_newest": jax.tree.map(newest, transitions.obs),
+                    "next_newest": jax.tree.map(newest, transitions.next_obs),
+                    "action": transitions.action,
+                    "reward": transitions.reward,
+                    "undone": transitions.undone,
+                }
+                return carry, (compact, masks)
             return carry, (transitions, masks, step_views)
 
         return jax.jit(collect)

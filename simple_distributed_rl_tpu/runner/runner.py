@@ -226,7 +226,7 @@ class Runner:
         if self._host_fns is None or self._host_fns[0] != (chunk_steps, K):
             self._host_fns = (
                 (chunk_steps, K),
-                self.engine.build_collect_chunk(chunk_steps),
+                self.engine.build_collect_chunk(chunk_steps, compact_frames=True),
                 jax.jit(self.algo.train_on_staged),
             )
         _, collect_fn, train_fn = self._host_fns
@@ -249,8 +249,8 @@ class Runner:
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         while True:
-            carry, (transitions, masks, _views) = collect_fn(carry)
-            replay.ingest(*jax.device_get((transitions, masks)))
+            carry, (compact, masks) = collect_fn(carry)
+            replay.ingest(*jax.device_get((compact, masks)))
             metrics = {}
             if replay.size >= max(warmup, batch_size):
                 staged = jax.device_put(replay.sample_batches(K, batch_size))
@@ -510,7 +510,7 @@ class Runner:
         host = getattr(self.algo, "uses_host_replay", False)
         if host:
             replay = self._ensure_host_replay()
-            fn = self.engine.build_collect_chunk(chunk_steps)
+            fn = self.engine.build_collect_chunk(chunk_steps, compact_frames=True)
         else:
             fn = self.engine.build_chunk(chunk_steps, 0, training=True)
         carry = self.carry
@@ -534,8 +534,8 @@ class Runner:
                         f"{max_memory} (capacity too small?)"
                     )
             if host:
-                carry, (transitions, masks, _views) = fn(carry)
-                replay.ingest(*jax.device_get((transitions, masks)))
+                carry, (compact, masks) = fn(carry)
+                replay.ingest(*jax.device_get((compact, masks)))
             else:
                 carry, _ = fn(carry)
         self._carry = carry
