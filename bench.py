@@ -222,7 +222,7 @@ def bench_atari_host_replay(make_env, num_envs=128, chunk_steps=32, K=32,
     carry = runner.carry
     load_before = _load_context()
     t0 = time.perf_counter()
-    while replay.size < cfg.memory.warmup_size:
+    while replay.size < cfg.memory.warmup_size or not replay.ready:
         carry, (tr, mask) = collect_fn(carry)
         replay.ingest(*jax.device_get((tr, mask)))
     staged = jax.device_put(replay.sample_batches(K, cfg.batch_size))

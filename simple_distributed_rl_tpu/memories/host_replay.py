@@ -148,13 +148,34 @@ class HostFrameReplay:
             return f if f is not None else self._zero_frame
         return self.frames[b, int((r_abs - (s + 1 - m)) % self.rows)]
 
+    @property
+    def ready(self) -> bool:
+        """True when EVERY env ring has at least one sampleable row (hi > lo).
+        Callers must gate sampling on this, not on the summed ``size``: an env
+        whose stream so far was only masked reset-gap rows has head == 0 and
+        cannot be sampled from."""
+        lo, hi = self._sample_range()
+        return bool(np.all(hi > lo))
+
+    def _sample_range(self):
+        # A transition at absolute row r with step_in_ep s >= W reads its oldest
+        # obs frame from row r - W, so on a wrapped ring the oldest W rows are
+        # excluded (rows >= W + 1 is guaranteed by the constructor).
+        lo = np.where(self.head > self.rows, self.head - self.rows + self.W, 0)
+        return lo, self.head
+
     def sample_batches(self, num_batches: int, batch_size: int):
         """[K, batch] staged sample: dict of numpy arrays shaped [K, batch, ...]
         ready for one device_put. Uniform over retained rows, excluding the
-        oldest W-1 rows of a wrapped ring (their history frames are overwritten)."""
-        lo = np.where(self.head > self.rows, self.head - self.rows + (self.W - 1), 0)
-        hi = self.head  # exclusive
-        assert np.all(hi > lo), "sample from an empty replay"
+        oldest W rows of a wrapped ring (their history frames are overwritten)."""
+        lo, hi = self._sample_range()  # hi exclusive
+        if not np.all(hi > lo):
+            empty = np.nonzero(~(hi > lo))[0].tolist()
+            raise RuntimeError(
+                f"HostFrameReplay not ready: env rings {empty} have no sampleable "
+                f"rows yet (heads {self.head[empty].tolist()}). Gate on `.ready` "
+                "or raise warmup_size so every env collects before training."
+            )
         K, B = int(num_batches), int(batch_size)
         bs = self._rng.integers(0, self.num_envs, size=(K, B))
         rs = lo[bs] + (self._rng.random((K, B)) * (hi[bs] - lo[bs])).astype(np.int64)
@@ -186,7 +207,7 @@ class HostFrameReplay:
         return {
             "frames": self.frames, "actions": self.actions, "rewards": self.rewards,
             "undone": self.undone, "step_in_ep": self.step_in_ep, "head": self.head,
-            "s": self._s, "gap": self._gap,
+            "s": self._s, "gap": self._gap, "rng": self._rng.bit_generator.state,
             "reset_b": np.asarray([x[0] for x in flat_resets], np.int64),
             "reset_slot": np.asarray([x[1] for x in flat_resets], np.int64),
             "reset_frames": (
@@ -196,6 +217,18 @@ class HostFrameReplay:
         }
 
     def load_state_dict(self, d) -> None:
+        got = np.asarray(d["frames"]).shape
+        want = (self.num_envs, self.rows) + self.frame_shape
+        if got != want:
+            raise ValueError(
+                f"HostFrameReplay restore shape mismatch: checkpoint frames {got} "
+                f"vs constructed ring {want} — construct the replay with the same "
+                "capacity/num_envs/frame_shape/window before restoring."
+            )
+        if "rng" in d:
+            self._rng.bit_generator.state = (
+                d["rng"].item() if isinstance(d["rng"], np.ndarray) else d["rng"]
+            )
         self.frames = np.asarray(d["frames"])
         self.actions = np.asarray(d["actions"])
         self.rewards = np.asarray(d["rewards"])

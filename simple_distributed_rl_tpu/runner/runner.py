@@ -252,7 +252,7 @@ class Runner:
             carry, (compact, masks) = collect_fn(carry)
             replay.ingest(*jax.device_get((compact, masks)))
             metrics = {}
-            if replay.size >= max(warmup, batch_size):
+            if replay.size >= max(warmup, batch_size) and replay.ready:
                 staged = jax.device_put(replay.sample_batches(K, batch_size))
                 algo_state, metrics = train_fn(carry.algo_state, staged)
                 carry = carry.replace(algo_state=algo_state)

@@ -80,7 +80,7 @@ def test_reconstruction_bit_identical_to_stream():
 
 
 def test_ring_wrap_reconstruction_and_exclusion():
-    """With a tiny ring the oldest W-1 retained rows are excluded from sampling
+    """With a tiny ring the oldest W retained rows are excluded from sampling
     (their history frames were overwritten); every SAMPLED stack still matches the
     stream exactly after multiple wraps."""
     env = _pixels_env()
@@ -111,7 +111,7 @@ def test_ring_wrap_reconstruction_and_exclusion():
     batches = replay.sample_batches(3, 16)
     assert batches["obs"].shape == (3, 16, 4, 10, 10, 1)
     # re-derive each sampled row by matching metadata row-for-row via the ring
-    lo = replay.head - replay.rows + (replay.W - 1)
+    lo, _hi = replay._sample_range()
     for b in range(2):
         for r_abs in range(int(lo[b]), int(replay.head[b])):
             s = int(replay.step_in_ep[b, r_abs % replay.rows])
@@ -122,6 +122,74 @@ def test_ring_wrap_reconstruction_and_exclusion():
             so, sn = stream[b][r_abs]
             np.testing.assert_array_equal(obs, so, err_msg=f"wrap obs b{b} r{r_abs}")
             np.testing.assert_array_equal(nxt, sn, err_msg=f"wrap next b{b} r{r_abs}")
+
+
+def test_wrap_boundary_deep_stack_regression():
+    """Round-4 advisor finding: with mid-episode rows (step_in_ep >= W) sitting at
+    the wrap boundary, a transition at the OLD exclusion bound head-rows+(W-1)
+    reads its oldest obs frame from row head-1 (the newest write) — a corrupted
+    stack. The fixed bound head-rows+W must keep every sampleable stack exact.
+    Built directly with _write so the boundary row is forced to step_in_ep >= W."""
+    rows, W = 20, 4
+    rep = HostFrameReplay(capacity=rows, num_envs=1, frame_shape=(1,), window=W)
+    # one long episode of 60 steps: frame value = global step index, so every
+    # reconstructed stack is predictable and wrong reads are loud
+    expected = {}
+    for s in range(60):
+        obs_newest = np.array([s], np.uint8)          # f(s) of the episode
+        next_newest = np.array([s + 1], np.uint8)     # f(s+1)
+        rep._write(0, s, obs_newest, next_newest, s % 3, 0.0, 1.0)
+        expected[s] = next_newest
+    lo, hi = rep._sample_range()
+    assert int(hi[0]) - int(lo[0]) == rows - W
+    for r_abs in range(int(lo[0]), int(hi[0])):
+        s = int(rep.step_in_ep[0, r_abs % rows])
+        assert s >= W  # the regression precondition: deep stacks at the boundary
+        obs = np.stack([rep._frame(0, r_abs, s - (W - 1 - j), s) for j in range(W)])
+        want = np.arange(s - W + 1, s + 1, dtype=np.uint8).reshape(W, 1)  # f(s-W+1)..f(s)
+        np.testing.assert_array_equal(obs, want, err_msg=f"boundary stack r{r_abs}")
+    # the old bound's extra row WOULD have been corrupt: its oldest frame slot
+    # now holds the newest write
+    bad = int(lo[0]) - 1
+    s = int(rep.step_in_ep[0, bad % rows])
+    stale = rep._frame(0, bad, s - (W - 1), s)
+    assert int(stale[0]) != int(expected[s - W + 1][0])  # proves the exclusion matters
+
+
+def test_not_ready_raises_descriptive_error():
+    """sample_batches on a ring where one env never produced a row raises a
+    RuntimeError naming the empty env (round-4 advisor low #3), and .ready
+    gates it."""
+    rep = HostFrameReplay(capacity=64, num_envs=2, frame_shape=(2,), window=2)
+    rep._write(0, 0, np.zeros(2, np.uint8), np.ones(2, np.uint8), 0, 0.0, 1.0)
+    assert rep.size == 1 and not rep.ready
+    with pytest.raises(RuntimeError, match=r"env rings \[1\]"):
+        rep.sample_batches(1, 2)
+    rep._write(1, 0, np.zeros(2, np.uint8), np.ones(2, np.uint8), 0, 0.0, 1.0)
+    assert rep.ready
+    assert rep.sample_batches(1, 2)["obs"].shape == (1, 2, 2, 2)
+
+
+def test_state_dict_round_trips_rng_and_validates_shape():
+    """Restore reproduces the sampling stream exactly (RNG state saved) and a
+    shape-mismatched restore fails loudly (round-4 advisor low #2)."""
+    rep = HostFrameReplay(capacity=64, num_envs=2, frame_shape=(2,), window=2, seed=7)
+    rng = np.random.default_rng(3)
+    for b in range(2):
+        for s in range(12):
+            rep._write(b, s, rng.integers(0, 255, (2,), np.uint8),
+                       rng.integers(0, 255, (2,), np.uint8), 1, 0.1, 1.0)
+    rep.sample_batches(2, 4)  # advance the RNG past its seed state
+    sd = rep.state_dict()
+    rep2 = HostFrameReplay(capacity=64, num_envs=2, frame_shape=(2,), window=2, seed=999)
+    rep2.load_state_dict(sd)
+    a = rep.sample_batches(2, 4)
+    bch = rep2.sample_batches(2, 4)
+    for k in a:
+        np.testing.assert_array_equal(a[k], bch[k])
+    rep3 = HostFrameReplay(capacity=32, num_envs=2, frame_shape=(2,), window=2)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        rep3.load_state_dict(sd)
 
 
 def test_host_replay_trains_end_to_end():
