@@ -13,6 +13,7 @@ from . import algorithms, envs, memories, models, spaces, utils
 from .define import DoneTypes, PlayerType, RLBaseTypes, SpaceTypes
 from .envs import EnvConfig, EnvCore, make as make_env, register as register_env
 from .runner import Runner
+from .utils.compilation_cache import enable_compilation_cache
 
 #: Rebuild a Runner from a full-run yaml (env:/rl:/context: document) — parity:
 #: srl.load (srl/__init__.py:6-8 / base/context.py:211-251)
@@ -27,6 +28,7 @@ __all__ = [
     "RLBaseTypes",
     "Runner",
     "SpaceTypes",
+    "enable_compilation_cache",
     "load",
     "algorithms",
     "envs",

@@ -10,12 +10,15 @@ for deployments that have it)."""
 from __future__ import annotations
 
 import importlib.util
+import logging
 import os
 import tempfile
 import time
 from typing import Optional
 
 from .callbacks import RunCallback
+
+logger = logging.getLogger(__name__)
 
 
 def is_available() -> bool:
@@ -63,25 +66,26 @@ class MLFlowCallback(RunCallback):
                 {k: str(v) for k, v in serialize.get_modified_fields(runner.algo).items()}
             )
         except Exception:
-            pass
+            logger.warning("MLFlowCallback: logging algo params failed", exc_info=True)
         mlflow.log_param("env", runner.env_id)
         mlflow.log_param("algorithm", runner.algo.get_name())
         mlflow.log_param("num_envs", runner.num_envs)
         # full-run yaml (env:/rl:/context:) so the run is reconstructable
         # (parity: the reference logs the runner config artifact,
-        # mlflow_callback.py on_start); falls back silently for bare EnvCore
-        # envs which have no serializable construction recipe
+        # mlflow_callback.py on_start); bare EnvCore envs have no serializable
+        # construction recipe, so the skip is expected — but logged, not silent
         try:
             with tempfile.TemporaryDirectory() as d:
                 path = os.path.join(d, "runner.yaml")
                 runner.save(path)
                 mlflow.log_artifact(path)
         except Exception:
-            pass
+            logger.warning(
+                "MLFlowCallback: runner.yaml artifact not logged (env not "
+                "reconstructable from config?)", exc_info=True,
+            )
 
     def on_chunk_end(self, runner, stats) -> None:
-        import logging
-
         import mlflow
 
         now = time.time()
@@ -100,9 +104,7 @@ class MLFlowCallback(RunCallback):
                 for k, v in eval_metrics.items():
                     mlflow.log_metric(k, v, step=step)
             except Exception:
-                logging.getLogger(__name__).warning(
-                    "MLFlowCallback: interval eval failed", exc_info=True
-                )
+                logger.warning("MLFlowCallback: interval eval failed", exc_info=True)
         if now - self._t_last < self.interval:
             return
         self._t_last = now
@@ -125,7 +127,7 @@ class MLFlowCallback(RunCallback):
             try:
                 self._log_plot(mlflow)
             except Exception:
-                pass
+                logger.warning("MLFlowCallback: history plot failed", exc_info=True)
         mlflow.end_run()
 
     def _log_plot(self, mlflow) -> None:
@@ -186,6 +188,10 @@ def load_runner_from_mlflow(run_id: str):
     try:
         arts = {a.path for a in mlflow.artifacts.list_artifacts(run_id=run_id)}
     except Exception:
+        logger.warning(
+            "load_runner_from_mlflow: listing artifacts failed; attempting "
+            "parameter restore anyway", exc_info=True,
+        )
         arts = None
     if arts is not None and "parameter.pkl.xz" not in arts:
         return runner  # genuinely no checkpoint logged

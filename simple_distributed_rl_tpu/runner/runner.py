@@ -35,8 +35,17 @@ class Runner:
         frameskip: int = 0,
         random_noop_max: int = 0,
         max_episode_steps: Optional[int] = None,
+        compilation_cache_dir: Optional[str] = None,
     ):
         from ..envs import EnvConfig
+        from ..utils import compilation_cache
+
+        # persistent XLA cache: explicit dir wins; otherwise the
+        # SRL_TPU_COMPILATION_CACHE env var opts in (utils/compilation_cache.py)
+        if compilation_cache_dir:
+            compilation_cache.enable_compilation_cache(compilation_cache_dir)
+        else:
+            compilation_cache.maybe_enable_from_env()
 
         if isinstance(env, EnvConfig):
             # episode options from the config unless overridden here
