@@ -106,6 +106,18 @@ def run_reference(algo: str, env: str, checkpoints, seed: int):
         cfg.set_model(64)
         cfg.memory.warmup_size = 1000
         cfg.memory.compress = False
+    elif algo == "GoDQ_v1":
+        # base_godq_v1.py:24-34 + test_Pendulum (:45-51): the reference's
+        # flagship modern-DQN recipe (torch backend, godq_v1/torch_trainer.py)
+        from srl.algorithms import godq_v1
+
+        cfg = godq_v1.Config()
+        cfg.base_units = 64
+        cfg.input_block.cont_units = 64
+        cfg.input_block.discrete_units = 32
+        cfg.align_loss_coeff = 0.1
+        cfg.discount = 0.9
+        cfg.lr = 0.001
     else:
         raise ValueError(algo)
     r = srl.Runner(env, cfg)
@@ -192,6 +204,16 @@ def run_ours(algo: str, env: str, checkpoints, seed: int):
 
         cfg = PPOVConfig(batch_size=64, discount=0.9, hidden_sizes=(64, 64))
         num_envs, chunk_steps, spc = 64, 16, 64
+    elif algo == "GoDQ_v1":
+        from simple_distributed_rl_tpu.algorithms import GoDQv1Config
+
+        # the reference Pendulum recipe verbatim (base_godq_v1.py:24-34,45-51):
+        # BYOL feat + int-Q + distributional dueling Q + alignment loss,
+        # shrink-perturb reset every 5000 updates, eps 0.01, lr 1e-3
+        cfg = GoDQv1Config(base_units=64, lr=1e-3, discount=0.9,
+                           align_loss_coeff=0.1)
+        num_envs, chunk_steps = 4, 4
+        spc = num_envs * chunk_steps
     else:
         raise ValueError(algo)
     r = srl2.Runner(env, cfg, num_envs=num_envs, seed=seed)
@@ -224,6 +246,8 @@ WORKLOADS = {
     # the comparison stays apples-to-apples at the 10k/20k sample points
     "SAC_NoT/Pendulum-v1": ("SAC_NoT", "Pendulum-v1", [10_000, 20_000], -500.0),
     "PPO_V/EasyGrid": ("PPO_V", "EasyGrid", [2_000, 5_000], 0.9),
+    # base_godq_v1.py test_Pendulum trains 20k steps at replay_ratio 1
+    "GoDQ_v1/Pendulum-v1": ("GoDQ_v1", "Pendulum-v1", [10_000, 20_000], -500.0),
 }
 
 
