@@ -46,6 +46,11 @@ def make(name: str, **kwargs) -> AlgoConfig:
     return _registry[name](**kwargs)
 
 
+def registered_names():
+    """Registered algorithm names (parity: srl.rl registration listing)."""
+    return tuple(_registry)
+
+
 register("QL", QLConfig)
 register("DQN", DQNConfig)
 register("C51", C51Config)
