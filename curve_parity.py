@@ -106,6 +106,35 @@ def run_reference(algo: str, env: str, checkpoints, seed: int):
         cfg.set_model(64)
         cfg.memory.warmup_size = 1000
         cfg.memory.compress = False
+    elif algo == "PPO":
+        # base_ppo.py test_EasyGrid1 config verbatim (TF backend — the only
+        # one the reference implements for PPO; tensorflow 2.21 IS installed
+        # on this box, closing the round-4 "TF absent" gap)
+        from srl.algorithms import ppo
+
+        cfg = ppo.Config(
+            batch_size=64, discount=0.9, gae_discount=0.9,
+            surrogate_type="clip", baseline_type="",
+            experience_collection_method="GAE",
+            enable_value_clip=True, enable_state_normalized=False,
+        )
+        cfg.lr = 0.0005
+        cfg.hidden_block.set((64, 64))
+        cfg.value_block.set(())
+        cfg.policy_block.set(())
+        cfg.memory.warmup_size = 500
+        cfg.train_num = 50
+    elif algo == "R2D2":
+        # base_r2d2.py test_Pendulum config verbatim (TF-only algorithm)
+        from srl.algorithms import r2d2
+
+        cfg = r2d2.Config(
+            lstm_units=32, target_model_update_interval=100,
+            enable_rescale=True, burnin=5, sequence_length=5,
+            enable_retrace=False,
+        )
+        cfg.hidden_block.set((16, 16))
+        cfg.memory.set_replay_buffer()
     elif algo == "GoDQ_v1":
         # base_godq_v1.py:24-34 + test_Pendulum (:45-51): the reference's
         # flagship modern-DQN recipe (torch backend, godq_v1/torch_trainer.py)
@@ -204,6 +233,31 @@ def run_ours(algo: str, env: str, checkpoints, seed: int):
 
         cfg = PPOVConfig(batch_size=64, discount=0.9, hidden_sizes=(64, 64))
         num_envs, chunk_steps, spc = 64, 16, 64
+    elif algo == "PPO":
+        from simple_distributed_rl_tpu.algorithms import PPOConfig
+
+        # the reference test_EasyGrid1 regime: GAE, clip surrogate, value clip
+        # on, no state normalization, lr 5e-4, (64,64) trunk with linear heads
+        # entropy_coef mirrors the reference's entropy_weight DEFAULT 0.01
+        # (ppo/config.py:105) — at our default 0.001 the policy collapses
+        # before discovering EasyGrid's goal (eval 0.0 at every checkpoint)
+        cfg = PPOConfig(discount=0.9, lr=5e-4, hidden_sizes=(64, 64),
+                        surrogate_type="clip", baseline_type="gae",
+                        enable_value_clip=True, enable_state_normalized=False,
+                        entropy_coef=0.01)
+        # on-policy: ONE update phase per rollout chunk; train_count advances
+        # num_epochs*num_minibatches (=16) gradient steps per phase, matching
+        # the reference's one-gradient-step-per-train_count accounting
+        num_envs, chunk_steps, spc = 64, 16, 1
+    elif algo == "R2D2":
+        from simple_distributed_rl_tpu.algorithms import R2D2Config
+
+        cfg = R2D2Config(lstm_units=32, target_model_update_interval=100,
+                         enable_rescale=True, burnin=5, sequence_length=5,
+                         hidden_sizes=(16, 16), batch_size=32)
+        num_envs = 8
+        chunk_steps = cfg.required_chunk_steps  # one stored sequence per env
+        spc = num_envs * chunk_steps  # 1:1 update:env-step like the reference
     elif algo == "GoDQ_v1":
         from simple_distributed_rl_tpu.algorithms import GoDQv1Config
 
@@ -248,6 +302,14 @@ WORKLOADS = {
     "PPO_V/EasyGrid": ("PPO_V", "EasyGrid", [2_000, 5_000], 0.9),
     # base_godq_v1.py test_Pendulum trains 20k steps at replay_ratio 1
     "GoDQ_v1/Pendulum-v1": ("GoDQ_v1", "Pendulum-v1", [10_000, 20_000], -500.0),
+    # base_ppo.py test_EasyGrid1 recipe; base_r2d2.py test_Pendulum (200*35
+    # trains) — both TF-backend reference algorithms (tf 2.21 on box). PPO
+    # budget is 3k (vs the reference test's 5k): the reference's on-policy
+    # trainer advances ~1 train per ~520 env steps at ~150 env-steps/s on this
+    # 2-core box, so 5k trains is a ~4h reference-side run; both sides get the
+    # same reduced cumulative budget, keeping the comparison apples-to-apples
+    "PPO/EasyGrid": ("PPO", "EasyGrid", [1_500, 3_000], 0.9),
+    "R2D2/Pendulum-v1": ("R2D2", "Pendulum-v1", [3_500, 7_000], -500.0),
 }
 
 

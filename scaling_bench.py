@@ -1,19 +1,35 @@
 """Scaling-efficiency harness (BASELINE.json: >=80% efficiency at 2+ hosts).
 
 Measures data-parallel DQN training throughput (env-steps/s) over growing device
-meshes and reports efficiency vs linear scaling from the 1-device run.
+meshes and reports efficiency vs linear scaling from the 1-device run, plus a
+per-chunk overhead decomposition:
+
+  wall_free_s        per-chunk wall with the device queue kept full (headline)
+  rollout_only_s     same chunk with train_steps=0 (no learner, no pmean)
+  learner_s          wall_free_s - rollout_only_s  (K learner updates + gradient
+                     pmean; at fixed per-device batch the matmuls are identical
+                     across mesh sizes, so growth vs the 1-device learner time
+                     is the collective + orchestration cost)
+  host_sync_s        extra wall per chunk when every call does a full-carry
+                     device_get sync (the cost a host-side callback boundary
+                     would pay; the engine's free-running loop does NOT pay it)
+  readback_s         one total_env_steps() host metric read
 
 Single process (scales over local/global chips):
 
-    python scaling_bench.py
+    python scaling_bench.py [--sizes 1,2,4,8] [--out x.json]
 
-Multi-host (run ONE command per host; efficiency is printed by process 0):
+Multi-host (run ONE command per host; process 0 writes/prints results; only the
+full global mesh is measured because every process must participate):
 
     python scaling_bench.py --coordinator host0:1234 --num-processes N --process-id i
 
-On machines without multiple accelerators, `--virtual 8` simulates an 8-device CPU
-mesh (XLA_FLAGS must not already pin the device count). Note virtual-CPU numbers
-measure orchestration overhead only, not real ICI/DCN scaling.
+On machines without multiple accelerators, `--virtual N` simulates an N-device CPU
+mesh (XLA_FLAGS must not already pin the device count). Virtual-CPU numbers
+measure orchestration/collective overhead only — all "devices" share the host's
+cores, so compute does NOT scale; use fixed per-device env counts (weak scaling)
+and read efficiency as "fraction of the aggregate rate linear scaling predicts
+given shared cores" (see make_scaling_artifact.py for the assembled story).
 """
 
 from __future__ import annotations
@@ -34,7 +50,9 @@ def main() -> None:
     ap.add_argument("--env", default="Grid")
     ap.add_argument("--envs-per-device", type=int, default=512)
     ap.add_argument("--chunk-steps", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--train-steps", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=0, help="0 = auto (~6s per mode)")
+    ap.add_argument("--sizes", default=None, help="comma list of mesh sizes to run")
     ap.add_argument("--out", default=None, help="write JSON results here")
     args = ap.parse_args()
 
@@ -64,8 +82,16 @@ def main() -> None:
     # process participates — so only n_total is measured there)
     if jax.process_count() > 1:
         sizes = [n_total]
+    elif args.sizes:
+        sizes = [int(s) for s in args.sizes.split(",")]
     else:
         sizes = sorted({2**i for i in range(n_total.bit_length()) if 2**i <= n_total} | {n_total})
+
+    def sync(tree):
+        jax.device_get(jax.tree.map(lambda x: x.ravel()[:1], jax.tree.leaves(tree)[:1]))
+
+    def full_sync(tree):
+        jax.device_get(jax.tree.map(lambda x: x.ravel()[:1], tree))
 
     results = []
     for n in sizes:
@@ -76,23 +102,74 @@ def main() -> None:
         cfg.setup(env)
         dp = DataParallelEngine(env, cfg, args.envs_per_device, mesh=make_mesh(n))
         carry = dp.init(jax.random.PRNGKey(0))
-        chunk = dp.build_chunk(args.chunk_steps)
+        chunk = dp.build_chunk(args.chunk_steps, args.train_steps)
+        chunk0 = dp.build_chunk(args.chunk_steps, 0)
         carry, _ = chunk(carry)  # compile
-        jax.block_until_ready(jax.tree.leaves(carry.algo_state)[0])
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
+        c0, _ = chunk0(carry)
+        full_sync((carry, c0))
+        del c0
+
+        iters = args.iters
+        if not iters:
+            t0 = time.perf_counter()
             carry, _ = chunk(carry)
-        jax.block_until_ready(jax.tree.leaves(carry.algo_state)[0])
-        dt = time.perf_counter() - t0
-        steps = args.iters * args.chunk_steps * args.envs_per_device * n
-        sps = steps / dt
-        results.append({"devices": n, "steps_per_s": sps})
+            full_sync(carry)
+            per = max(time.perf_counter() - t0, 1e-4)
+            iters = max(3, min(60, int(6.0 / per)))
+
+        # mode 1: free-running (headline)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry, _ = chunk(carry)
+        full_sync(carry)
+        dt_free = (time.perf_counter() - t0) / iters
+
+        # mode 2: per-call full-carry sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry, _ = chunk(carry)
+            full_sync(carry)
+        dt_sync = (time.perf_counter() - t0) / iters
+
+        # mode 3: rollout only (train_steps=0 — no learner, no pmean)
+        c = carry
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c, _ = chunk0(c)
+        full_sync(c)
+        dt_roll = (time.perf_counter() - t0) / iters
+        del c
+
+        # host metric readback
+        t0 = time.perf_counter()
+        total = dp.total_env_steps(carry)
+        dt_read = time.perf_counter() - t0
+        assert total > 0
+
+        steps = args.chunk_steps * args.envs_per_device * n
+        sps = steps / dt_free
+        row = {
+            "devices": n,
+            "processes": jax.process_count(),
+            "envs_per_device": args.envs_per_device,
+            "iters": iters,
+            "steps_per_s": round(sps, 1),
+            "per_chunk": {
+                "wall_free_s": round(dt_free, 5),
+                "rollout_only_s": round(dt_roll, 5),
+                "learner_s": round(dt_free - dt_roll, 5),
+                "host_sync_s": round(dt_sync - dt_free, 5),
+                "readback_s": round(dt_read, 5),
+            },
+        }
+        results.append(row)
         if is_main:
-            base = results[0]["steps_per_s"]
-            eff = sps / (base * n / results[0]["devices"])
-            results[-1]["efficiency_vs_1dev"] = eff
+            base = results[0]
+            eff = sps / (base["steps_per_s"] * n / base["devices"])
+            row["efficiency_vs_first"] = round(eff, 3)
             print(json.dumps({"devices": n, "env": args.env,
-                              "steps_per_s": round(sps), "efficiency": round(eff, 3)}),
+                              "steps_per_s": round(sps), "efficiency": round(eff, 3),
+                              "per_chunk": row["per_chunk"]}),
                   flush=True)
 
     if is_main and args.out:

@@ -115,15 +115,18 @@ class _MuZeroResBlock(nn.Module):
     filters: int
     activation: str = "relu"
     use_layer_normalization: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         act = _activation(self.activation)
-        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False)(x)
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
         if self.use_layer_normalization:
             y = nn.LayerNorm()(y)
         y = act(y)
-        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False)(y)
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(y)
         if self.use_layer_normalization:
             y = nn.LayerNorm()(y)
         return act(x + y)
@@ -139,15 +142,19 @@ class MuZeroAtariBlock(nn.Module):
     filters: int = 128
     activation: str = "relu"
     use_layer_normalization: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         act = _activation(self.activation)
-        res = lambda f: _MuZeroResBlock(f, self.activation, self.use_layer_normalization)
-        x = act(nn.Conv(self.filters, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x))
+        res = lambda f: _MuZeroResBlock(
+            f, self.activation, self.use_layer_normalization, dtype=self.dtype)
+        x = act(nn.Conv(self.filters, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+                        dtype=self.dtype)(x))
         x = res(self.filters)(x)
         x = res(self.filters)(x)
-        x = act(nn.Conv(self.filters * 2, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x))
+        x = act(nn.Conv(self.filters * 2, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+                        dtype=self.dtype)(x))
         for _ in range(3):
             x = res(self.filters * 2)(x)
         x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding="SAME")
@@ -256,6 +263,7 @@ class InputBlockConfig:
                     filters=getattr(self, "muzero_filters", 128),
                     activation=self.activation,
                     use_layer_normalization=getattr(self, "muzero_layer_norm", False),
+                    dtype=dtype,
                 )
             return AlphaZeroImageBlock()
         return FlattenBlock(features=self.value_features, activation=self.activation)
@@ -292,6 +300,11 @@ class QNetwork(nn.Module):
     def __call__(self, x):
         ib = self.input_block or InputBlockConfig(activation=self.activation)
         x = ib.create_block(self.obs_space, dtype=self.dtype)(x)
+        if x.ndim > 2:
+            # spatial-map input towers (muzero_atari / alphazero keep their
+            # feature map for the latent-dynamics use case) flatten before the
+            # MLP head when composed into a Q network
+            x = x.reshape((x.shape[0], -1))
         x = MLPBlock(self.hidden, self.activation, dtype=self.dtype)(x)
         if self.dueling:
             q = DuelingHead(self.num_actions, noisy=self.noisy,
