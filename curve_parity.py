@@ -263,22 +263,38 @@ def run_ours(algo: str, env: str, checkpoints, seed: int):
 
         # the reference Pendulum recipe verbatim (base_godq_v1.py:24-34,45-51):
         # BYOL feat + int-Q + distributional dueling Q + alignment loss,
-        # shrink-perturb reset every 5000 updates, eps 0.01, lr 1e-3
+        # shrink-perturb reset every 5000 updates, eps 0.01, lr 1e-3.
+        # Engine regime: chunk 16 with the two-chunk reward-to-go window
+        # (mc_pend_rows) so the alignment target approximates the reference's
+        # pure-MC 500-step tracking flush (4-step chunks truncate it to a
+        # near-bootstrap target: seeds land 300-500 reward lower, ablations in
+        # PROGRESS.md round 5)
         cfg = GoDQv1Config(base_units=64, lr=1e-3, discount=0.9,
-                           align_loss_coeff=0.1)
-        num_envs, chunk_steps = 4, 4
+                           align_loss_coeff=0.1, mc_pend_rows=32)
+        num_envs, chunk_steps = 4, 16
         spc = num_envs * chunk_steps
     else:
         raise ValueError(algo)
     r = srl2.Runner(env, cfg, num_envs=num_envs, seed=seed)
     curve = []
     for tc in checkpoints:
-        # cumulative budget: our stats train_count IS cumulative
+        # cumulative budget: our stats train_count IS cumulative. Land on the
+        # checkpoint EXACTLY like the reference's max_train_count stop does —
+        # an overshoot is not neutral for algorithms with train-count-scheduled
+        # events (GoDQ_v1 shrink-perturb fires at tc%5000==1, i.e. right AFTER
+        # a 10k/20k checkpoint: overshooting evaluates a freshly-reset net the
+        # reference never evaluates).
         while True:
             stats = r.train(max_steps=num_envs * chunk_steps * 4,
                             chunk_steps=chunk_steps,
                             train_steps_per_chunk=spc, progress=False)
-            if stats.get("train_count", 0) >= tc:
+            done = stats.get("train_count", 0)
+            if done >= tc:
+                break
+            if tc - done <= spc:  # final partial block: stop exactly at tc
+                r.train(max_steps=num_envs * chunk_steps,
+                        chunk_steps=chunk_steps,
+                        train_steps_per_chunk=int(tc - done), progress=False)
                 break
         curve.append(float(r.evaluate(50)[0]))
     return curve

@@ -223,6 +223,10 @@ class GoDQState:
     snap_env: Any
     snap_ts: Any
     restore_count: Array
+    # pending observe window (mc_pend_rows > 0): the previous chunk's per-env
+    # rows, held back one chunk so their reward-to-go is computed over BOTH
+    # chunks (bootstrap weight falls from gamma^k to gamma^(L+k)); () when off
+    pend: Any = ()
 
 
 @dataclasses.dataclass
@@ -232,6 +236,13 @@ class GoDQv1Config(AlgoConfig):
     test_epsilon: float = 0.0
     test_policy: Literal["q", "int"] = "q"
     epsilon: float = 0.01
+    #: >0 enables the two-chunk reward-to-go window: each chunk's rows are
+    #: emitted one chunk LATE, with their alignment target computed over this
+    #: chunk AND the next (closer to the reference's 500-step pure-MC tracking
+    #: flush, worker.py:141-166, at short engine chunks). Set to the per-env
+    #: rows per chunk = chunk_steps * (1 + player_num); rows of the final chunk
+    #: of a run are never emitted (one chunk of data held in flight).
+    mc_pend_rows: int = 0
     # archive
     enable_archive: bool = False
     archive_steps: int = 200
@@ -385,7 +396,25 @@ class GoDQv1Config(AlgoConfig):
         else:
             snap_env = snap_ts = ()
             occ = a_r = a_d = ()
+        if self.mc_pend_rows > 0:
+            B = getattr(self, "num_envs_hint", None)
+            assert B is not None, "mc_pend_rows needs the engine's num_envs hint"
+            P = self.mc_pend_rows
+            z0 = self.obs_space.zero()
+            zo = jnp.zeros((B, P) + z0.shape, z0.dtype)
+            pend = {
+                "obs": zo,
+                "next_obs": zo,
+                "action": jnp.zeros((B, P), jnp.int32),
+                "reward": jnp.zeros((B, P)),
+                "undone": jnp.zeros((B, P)),
+                "valid": jnp.zeros((B, P), bool),
+                "final": jnp.zeros((B, P), bool),
+            }
+        else:
+            pend = ()
         return GoDQState(
+            pend=pend,
             params=params,
             aux_params=aux,
             opt_state=self._tx.init(params),
@@ -636,13 +665,35 @@ class GoDQv1Config(AlgoConfig):
         seq, valid, is_final = to_env_sequences(t, mask, num_envs)
         Bv, L = valid.shape
 
-        flat = lambda x: x.reshape((Bv * L,) + x.shape[2:])
-        oe = self.encoder.apply(state.params["encoder"], flat(seq.next_obs))
+        P = self.mc_pend_rows
+        if P:
+            # two-chunk window: prepend the held-back chunk; its rows get a
+            # reward-to-go spanning BOTH chunks, then get emitted, and the new
+            # chunk takes its place (padded to P with invalid rows — the
+            # reverse scan passes through invalids untouched)
+            assert L <= P, f"mc_pend_rows={P} < per-env rows per chunk {L}"
+            pend = state.pend
+            cat = lambda a, b: jnp.concatenate([a, b], axis=1)
+            w_obs = cat(pend["obs"], seq.obs)
+            w_nobs = cat(pend["next_obs"], seq.next_obs)
+            w_act = cat(pend["action"], seq.action)
+            w_rew = cat(pend["reward"], seq.reward)
+            w_und = cat(pend["undone"], seq.undone)
+            w_val = cat(pend["valid"], valid)
+            w_fin = cat(pend["final"], is_final)
+            W = P + L
+        else:
+            w_obs, w_nobs, w_act = seq.obs, seq.next_obs, seq.action
+            w_rew, w_und, w_val, w_fin = seq.reward, seq.undone, valid, is_final
+            W = L
+
+        flat = lambda x: x.reshape((Bv * W,) + x.shape[2:])
+        oe = self.encoder.apply(state.params["encoder"], flat(w_nobs))
         nq, _ = dueling_q(*self.q_head.apply(state.params["q"], oe), key=None)
-        boot = jnp.max(nq, -1).reshape(Bv, L)
+        boot = jnp.max(nq, -1).reshape(Bv, W)
         if self.enable_q_rescale:
             boot = funcs.inverse_linear_symlog(boot)
-        boot = jax.lax.stop_gradient(boot) * seq.undone
+        boot = jax.lax.stop_gradient(boot) * w_und
 
         def rev_step(carry, xs):
             r, v, fin, bt = xs
@@ -653,18 +704,35 @@ class GoDQv1Config(AlgoConfig):
             started = jnp.logical_or(started, v)
             return (R, started), jnp.where(v, rtg, 0.0)
 
-        xs = (seq.reward.T, valid.T, is_final.T, boot.T)  # scan over L
+        xs = (w_rew.T, w_val.T, w_fin.T, boot.T)  # scan over the window
         init = (jnp.zeros((Bv,)), jnp.zeros((Bv,), bool))
         _, rtg = jax.lax.scan(rev_step, init, xs, reverse=True)
-        rtg = rtg.T  # [Bv, L]
+        rtg = rtg.T  # [Bv, W]
 
+        if P:
+            emit = slice(0, P)  # the held-back rows, now with 2-chunk targets
+            emit_valid = w_val[:, emit]
+            pad = lambda x: jnp.concatenate(
+                [x, jnp.zeros((Bv, P - L) + x.shape[2:], x.dtype)], axis=1)
+            new_pend = {
+                "obs": pad(seq.obs), "next_obs": pad(seq.next_obs),
+                "action": pad(seq.action), "reward": pad(seq.reward),
+                "undone": pad(seq.undone), "valid": pad(valid),
+                "final": pad(is_final),
+            }
+        else:
+            emit = slice(0, W)
+            emit_valid = w_val
+            new_pend = state.pend
+        eflat = lambda x: x[:, emit].reshape(
+            (Bv * (emit.stop - emit.start),) + x.shape[2:])
         items = GoDQItem(
-            obs=seq.obs, action=seq.action, reward=seq.reward,
-            next_obs=seq.next_obs, undone=seq.undone, total_reward=rtg,
+            obs=eflat(w_obs), action=eflat(w_act), reward=eflat(w_rew),
+            next_obs=eflat(w_nobs), undone=eflat(w_und), total_reward=eflat(rtg),
         )
-        items = jax.tree.map(flat, items)
         return state.replace(
-            memory=self._replay.add_masked(state.memory, items, valid.reshape(-1))
+            pend=new_pend,
+            memory=self._replay.add_masked(state.memory, items, emit_valid.reshape(-1)),
         )
 
     # ------------------------------------------------------------------

@@ -181,3 +181,31 @@ def test_godq_v1_lstm_tiger_baseline():
     r.train(max_steps=150_000, train_steps_per_chunk=8, progress=False)
     rewards = r.evaluate(500)
     assert float(rewards[0]) >= -0.1
+
+def test_godq_v1_mc_pend_window():
+    """mc_pend_rows > 0: rows are emitted one chunk LATE with a two-chunk
+    reward-to-go window (godq_v1.py observe). Checks the emission delay
+    against the immediate-emission run and that training proceeds."""
+    chunk, envs = 4, 4
+    rows_per_chunk = chunk * 2  # T1 + episode-flush slots per env
+
+    def run(pend):
+        cfg = _small(mc_pend_rows=pend, memory_warmup_size=10, batch_size=8)
+        r = srl.Runner("Pendulum-v1", cfg, num_envs=envs, seed=3)
+        sizes = []
+        for _ in range(4):
+            r.train(max_steps=envs * chunk, chunk_steps=chunk,
+                    train_steps_per_chunk=4, progress=False)
+            sizes.append(r.memory_size())
+        return r, sizes
+
+    r0, sizes0 = run(0)
+    r1, sizes1 = run(rows_per_chunk)
+    # first chunk: delayed run has emitted nothing yet
+    assert sizes1[0] == 0 and sizes0[0] > 0
+    # steady state: delayed run trails by exactly one chunk of valid rows
+    assert sizes1[-1] == sizes0[-2]
+    assert int(r1.algo_state.train_count) > 0
+    # the held-back window's targets are finite
+    tr = np.asarray(r1.algo_state.memory.data.total_reward)
+    assert np.isfinite(tr).all()
