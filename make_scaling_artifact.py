@@ -112,7 +112,9 @@ def main() -> int:
 
     # --- leg 4: 2-process x 2-device localhost multihost ---------------------
     print("[leg] 2-proc x 2-dev localhost multihost ...", flush=True)
-    port = 12897
+    # unique per run: re-binding the same coordinator port right after a prior
+    # run can leave both processes blocked in jax.distributed.initialize
+    port = 13000 + (os.getpid() % 20000)
     env = dict(os.environ)
     env.setdefault("PYTHONPATH", REPO)
     mh_args = ["--virtual", "2", "--coordinator", f"localhost:{port}",
@@ -143,12 +145,16 @@ def main() -> int:
     summ = {}
     vw = art["legs"].get("virtual_weak", {}).get("rows")
     if vw:
-        summ["virtual_weak_efficiency"] = {
-            str(r["devices"]): r.get("efficiency_vs_first") for r in vw}
+        base = vw[0]["steps_per_s"]
+        summ["virtual_weak_aggregate_ratio"] = {
+            str(r["devices"]): round(r["steps_per_s"] / base, 3) for r in vw}
         summ["virtual_weak_note"] = (
-            "all virtual devices share the host cores; ideal aggregate rate is "
-            "flat, so these percentages are orchestration+pmean survival, not "
-            "hardware scaling")
+            "all virtual devices share the host cores, so the compute-bound "
+            "ideal aggregate rate is FLAT; aggregate_rate(n)/aggregate_rate(1) "
+            "is the fraction of the core-bound rate that survives n-way mesh "
+            "partitioning + pmean (orchestration survival, not hardware "
+            "scaling). rows[].efficiency_vs_first divides by n (linear ideal) "
+            "and is only meaningful on real hardware.")
     r1 = art["legs"].get("mh_1proc", {}).get("rows")
     r2 = art["legs"].get("mh_2proc", {}).get("rows")
     if r1 and r2:

@@ -117,10 +117,19 @@ def main() -> None:
             per = max(time.perf_counter() - t0, 1e-4)
             iters = max(3, min(60, int(6.0 / per)))
 
-        # mode 1: free-running (headline)
+        # mode 1: free-running (headline). On the CPU backend the in-process
+        # collective communicator is unreliable under queue depth > 1 (multiple
+        # enqueued executions' AllReduce rendezvous share the core-count-sized
+        # thread pool -> xla::internal::AwaitAndLogIfStuck, sometimes fatal), so
+        # virtual-mesh runs cap the queue at depth 1 by blocking on the chunk's
+        # train metrics — a scalar leaf downstream of every pmean — which adds
+        # only a host round-trip, not a full-carry device_get.
+        depth1 = jax.default_backend() == "cpu" and n > 1
         t0 = time.perf_counter()
         for _ in range(iters):
-            carry, _ = chunk(carry)
+            carry, m = chunk(carry)
+            if depth1:
+                jax.block_until_ready(m)
         full_sync(carry)
         dt_free = (time.perf_counter() - t0) / iters
 
@@ -154,6 +163,7 @@ def main() -> None:
             "envs_per_device": args.envs_per_device,
             "iters": iters,
             "steps_per_s": round(sps, 1),
+            "queue_depth_1": bool(depth1),
             "per_chunk": {
                 "wall_free_s": round(dt_free, 5),
                 "rollout_only_s": round(dt_roll, 5),

@@ -473,7 +473,7 @@ class Agent57Config(AlgoConfig):
             (loss, l_ext), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
             grads["rnd_target"] = jax.tree.map(jnp.zeros_like, grads["rnd_target"])
             if self.pmean_axis is not None:
-                grads = jax.lax.pmean(grads, self.pmean_axis)
+                grads = self.dp_pmean(grads)
             updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
             ready = self._replay.is_warmup_over(st.memory)

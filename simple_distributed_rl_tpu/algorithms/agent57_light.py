@@ -532,8 +532,7 @@ class Agent57LightConfig(AlgoConfig):
             (g_int, td_int) = jax.grad(int_loss, has_aux=True)(int_params)
 
             if self.pmean_axis is not None:
-                g_ext = jax.lax.pmean(g_ext, self.pmean_axis)
-                g_int = jax.lax.pmean(g_int, self.pmean_axis)
+                g_ext, g_int = self.dp_pmean((g_ext, g_int))
 
             up_ext, opt_ext = self._tx_ext.update(g_ext, st.opt_state["ext"], st.params["q_ext"])
             new_q_ext = optax.apply_updates(st.params["q_ext"], up_ext)

@@ -107,6 +107,14 @@ class AlgoConfig:
     # axis so learner replicas stay identical (replaces the reference's parameter
     # board + sync threads, play_mp.py:289-318).
     pmean_axis: Optional[str] = None
+    # Fuse each dp_pmean/dp_psum pytree into one flattened collective per dtype
+    # instead of one per leaf. Per-collective latency dominates cross-host (DCN)
+    # all-reduce cost, so a K-update chunk over an L-leaf grad tree pays K*L
+    # round-trips unfused vs K fused. DataParallelEngine turns this on
+    # automatically for multi-process meshes; single-host ICI keeps the per-leaf
+    # form (XLA's TPU all-reduce combiner already merges those, and skipping the
+    # concat avoids an extra params-sized copy on the hot path).
+    fuse_collectives: bool = False
     #: True -> the engine passes the raw env state/timestep in PolicyContext so the
     #: policy can run simulations with the env model (MCTS/AlphaZero/MuZero family;
     #: parity: RLConfig.use_backup_restore, srl/algorithms/mcts.py:29-30)
@@ -300,14 +308,39 @@ class AlgoConfig:
         this so learner replicas stay bit-identical — the tabular analog of gradient
         pmean (replaces the reference's trainer-process aggregation,
         base/run/play_mp.py:248-286)."""
-        if self.pmean_axis is None:
-            return x
-        return jax.tree.map(lambda v: jax.lax.psum(v, self.pmean_axis), x)
+        return self._dp_reduce(x, jax.lax.psum)
 
     def dp_pmean(self, x):
+        return self._dp_reduce(x, jax.lax.pmean)
+
+    def _dp_reduce(self, x, red):
         if self.pmean_axis is None:
             return x
-        return jax.tree.map(lambda v: jax.lax.pmean(v, self.pmean_axis), x)
+        leaves, treedef = jax.tree.flatten(x)
+        if not self.fuse_collectives or len(leaves) <= 1:
+            return jax.tree.unflatten(
+                treedef, [red(v, self.pmean_axis) for v in leaves]
+            )
+        # One collective per dtype: ravel+concat the leaves, reduce the single
+        # vector, split back (static shapes, trace-time bookkeeping only).
+        by_dtype: dict = {}
+        for i, v in enumerate(leaves):
+            by_dtype.setdefault(jnp.asarray(v).dtype, []).append(i)
+        out = [None] * len(leaves)
+        for idxs in by_dtype.values():
+            if len(idxs) == 1:
+                out[idxs[0]] = red(leaves[idxs[0]], self.pmean_axis)
+                continue
+            vec = red(
+                jnp.concatenate([jnp.ravel(leaves[i]) for i in idxs]),
+                self.pmean_axis,
+            )
+            off = 0
+            for i in idxs:
+                n = int(jnp.asarray(leaves[i]).size)
+                out[i] = jnp.reshape(vec[off : off + n], jnp.shape(leaves[i]))
+                off += n
+        return jax.tree.unflatten(treedef, out)
 
     @staticmethod
     def flatten_transitions(transitions: Transition, mask: Array) -> Tuple[Transition, Array]:

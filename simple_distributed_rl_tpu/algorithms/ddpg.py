@@ -161,8 +161,7 @@ class DDPGConfig(AlgoConfig):
             q_grads = jax.grad(q_loss_fn)(st.q_params)
             p_grads = jax.grad(p_loss_fn)(st.policy_params)
             if self.pmean_axis is not None:
-                q_grads = jax.lax.pmean(q_grads, self.pmean_axis)
-                p_grads = jax.lax.pmean(p_grads, self.pmean_axis)
+                q_grads, p_grads = self.dp_pmean((q_grads, p_grads))
 
             q_up, q_opt = self._q_tx.update(q_grads, st.q_opt, st.q_params)
             q_params = optax.apply_updates(st.q_params, q_up)

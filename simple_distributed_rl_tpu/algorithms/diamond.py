@@ -807,7 +807,7 @@ class DiamondConfig(AlgoConfig):
                 batch, _ = self._replay.sample_with_indices(st.memory, ks[0], self.batch_size)
                 dl, grads = jax.value_and_grad(self._diff_loss)(st.diff_params, batch, ks[1])
                 if self.pmean_axis is not None:
-                    grads = jax.lax.pmean(grads, self.pmean_axis)
+                    grads = self.dp_pmean(grads)
                 up, diff_opt = self._diff_tx.update(grads, st.diff_opt, st.diff_params)
                 diff_params = optax.apply_updates(st.diff_params, up)
                 info["loss_diff"] = dl
@@ -818,7 +818,7 @@ class DiamondConfig(AlgoConfig):
                 (rl, (lr_, ld_)), grads = jax.value_and_grad(self._re_loss, has_aux=True)(
                     st.re_params, batch, ks[3])
                 if self.pmean_axis is not None:
-                    grads = jax.lax.pmean(grads, self.pmean_axis)
+                    grads = self.dp_pmean(grads)
                 up, re_opt = self._re_tx.update(grads, st.re_opt, st.re_params)
                 re_params = optax.apply_updates(st.re_params, up)
                 info["loss_r"] = lr_
@@ -830,7 +830,7 @@ class DiamondConfig(AlgoConfig):
                 (al, (la, lv, le)), grads = jax.value_and_grad(self._ac_loss, has_aux=True)(
                     st.ac_params, diff_params, re_params, batch, ks[5])
                 if self.pmean_axis is not None:
-                    grads = jax.lax.pmean(grads, self.pmean_axis)
+                    grads = self.dp_pmean(grads)
                 up, ac_opt = self._ac_tx.update(grads, st.ac_opt, st.ac_params)
                 ac_params = optax.apply_updates(st.ac_params, up)
                 info["loss_a"] = la

@@ -310,7 +310,7 @@ class DQNConfig(AlgoConfig):
                 # data-parallel gradient sync over ICI — replica params never diverge,
                 # so the reference's param publish thread (play_mp.py:289-318) and
                 # actor sync polling (play_mp.py:121-165) have no equivalent here.
-                grads = jax.lax.pmean(grads, self.pmean_axis)
+                grads = self.dp_pmean(grads)
             updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
 
@@ -365,7 +365,7 @@ class DQNConfig(AlgoConfig):
             state.params, state.target_params, batch, weights
         )
         if self.pmean_axis is not None:
-            grads = jax.lax.pmean(grads, self.pmean_axis)
+            grads = self.dp_pmean(grads)
         updates, opt_state = self._tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         train_count = state.train_count + 1

@@ -428,8 +428,7 @@ class DreamerV3Config(AlgoConfig):
             )(st.ac_params, st.wm_params, h0, z0, st.ret_low, st.ret_high, k3)
 
             if self.pmean_axis is not None:
-                wm_grads = jax.lax.pmean(wm_grads, self.pmean_axis)
-                ac_grads = jax.lax.pmean(ac_grads, self.pmean_axis)
+                wm_grads, ac_grads = self.dp_pmean((wm_grads, ac_grads))
 
             wm_up, wm_opt = self._wm_tx.update(wm_grads, st.wm_opt, st.wm_params)
             wm_params = optax.apply_updates(st.wm_params, wm_up)

@@ -762,8 +762,7 @@ class EfficientZeroV2Config(AlgoConfig):
             batch, _ = self._replay.sample_with_indices(st.memory, k, self.batch_size)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params, batch)
             if self.pmean_axis is not None:
-                grads = jax.lax.pmean(grads, self.pmean_axis)
-                aux = jax.tree.map(lambda x: jax.lax.pmean(x, self.pmean_axis), aux)
+                grads, aux = self.dp_pmean((grads, aux))
             updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
             ready = self._replay.is_warmup_over(st.memory)

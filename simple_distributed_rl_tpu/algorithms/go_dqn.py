@@ -329,7 +329,7 @@ class GoDQNConfig(AlgoConfig):
 
             loss, grads = jax.value_and_grad(loss_fn)(st.params)
             if self.pmean_axis is not None:
-                grads = jax.lax.pmean(grads, self.pmean_axis)
+                grads = self.dp_pmean(grads)
             updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
             ready = self._replay.is_warmup_over(st.memory)

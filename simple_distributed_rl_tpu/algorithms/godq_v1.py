@@ -765,8 +765,7 @@ class GoDQv1Config(AlgoConfig):
                 st.params, st, batch, ks[2]
             )
             if self.pmean_axis is not None:
-                grads = jax.lax.pmean(grads, self.pmean_axis)
-                aux = jax.tree.map(lambda x: jax.lax.pmean(x, self.pmean_axis), aux)
+                grads, aux = self.dp_pmean((grads, aux))
             grads = self._clip(grads)
             updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)

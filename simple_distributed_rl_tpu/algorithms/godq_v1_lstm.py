@@ -562,8 +562,7 @@ class GoDQv1LstmConfig(AlgoConfig):
                 st.params, st, batch, ks[2]
             )
             if self.pmean_axis is not None:
-                grads = jax.lax.pmean(grads, self.pmean_axis)
-                aux = jax.tree.map(lambda x: jax.lax.pmean(x, self.pmean_axis), aux)
+                grads, aux = self.dp_pmean((grads, aux))
             grads = optax.clip_by_global_norm(self.max_grad_norm).update(grads, None)[0]
             updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)

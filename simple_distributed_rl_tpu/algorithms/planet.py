@@ -126,7 +126,7 @@ class PlaNetConfig(DreamerV3Config):
                 st.wm_params, batch, k2
             )
             if self.pmean_axis is not None:
-                wm_grads = jax.lax.pmean(wm_grads, self.pmean_axis)
+                wm_grads = self.dp_pmean(wm_grads)
             wm_up, wm_opt = self._wm_tx.update(wm_grads, st.wm_opt, st.wm_params)
             wm_params = optax.apply_updates(st.wm_params, wm_up)
             ready = self._replay.is_warmup_over(st.memory)

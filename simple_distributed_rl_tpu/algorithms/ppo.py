@@ -262,7 +262,7 @@ class PPOConfig(AlgoConfig):
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
                 grads, kl = grad_fn(params, idx, kl_coef)
                 if self.pmean_axis is not None:
-                    grads = jax.lax.pmean(grads, self.pmean_axis)
+                    grads = self.dp_pmean(grads)
                 updates, opt_state = self._tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 # adaptive-KL coefficient update (parity: ppo adaptive mode)

@@ -108,8 +108,7 @@ class QLConfig(AlgoConfig):
         if self.pmean_axis is not None:
             # data-parallel: global mean TD across shards (replaces trainer-process
             # aggregation, play_mp.py:248-286)
-            sum_td = jax.lax.psum(sum_td, self.pmean_axis)
-            cnt = jax.lax.psum(cnt, self.pmean_axis)
+            sum_td, cnt = self.dp_psum((sum_td, cnt))
         mean_td = (sum_td / jnp.maximum(cnt, 1.0)).reshape(self.num_states, A)
         q = state.q_table + lr * mean_td
         visit = state.visit.at[t.obs].add(mask.astype(jnp.int32))

@@ -168,8 +168,7 @@ class QLAgent57Config(AlgoConfig):
             sum_td = jnp.zeros((self.S * self.A,)).at[flat].add(td * m)
             cnt = jnp.zeros((self.S * self.A,)).at[flat].add(m)
             if self.pmean_axis is not None:
-                sum_td = jax.lax.psum(sum_td, self.pmean_axis)
-                cnt = jax.lax.psum(cnt, self.pmean_axis)
+                sum_td, cnt = self.dp_psum((sum_td, cnt))
             return q_table + lr * (sum_td / jnp.maximum(cnt, 1.0)).reshape(self.S, self.A)
 
         q_ext = td_update(state.q_ext, r_ext, self.lr_ext)

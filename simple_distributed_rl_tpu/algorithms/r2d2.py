@@ -305,7 +305,7 @@ class R2D2Config(AlgoConfig):
             batch, _ = self._replay.sample_with_indices(st.memory, k, self.batch_size)
             loss, grads = grad_fn(st.params, st.target_params, batch)
             if self.pmean_axis is not None:
-                grads = jax.lax.pmean(grads, self.pmean_axis)
+                grads = self.dp_pmean(grads)
             updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
             ready = self._replay.is_warmup_over(st.memory)

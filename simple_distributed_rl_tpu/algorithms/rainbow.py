@@ -230,7 +230,7 @@ class RainbowConfig(AlgoConfig):
                 weights = jnp.ones((self.batch_size,), jnp.float32)
             grads, td_error = grad_fn(st.params, st.target_params, item, weights, k_noise)
             if self.pmean_axis is not None:
-                grads = jax.lax.pmean(grads, self.pmean_axis)
+                grads = self.dp_pmean(grads)
             updates, opt_state = self._tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
             ready = self._replay.is_warmup_over(st.memory)

@@ -265,8 +265,7 @@ class SACConfig(AlgoConfig):
             q_grads = jax.grad(q_loss_fn)(st.q_params)
             (p_grads, entropy) = jax.grad(p_loss_fn, has_aux=True)(st.policy_params)
             if self.pmean_axis is not None:
-                q_grads = jax.lax.pmean(q_grads, self.pmean_axis)
-                p_grads = jax.lax.pmean(p_grads, self.pmean_axis)
+                q_grads, p_grads = self.dp_pmean((q_grads, p_grads))
 
             q_up, q_opt = self._q_tx.update(q_grads, st.q_opt, st.q_params)
             q_params = optax.apply_updates(st.q_params, q_up)
@@ -279,7 +278,7 @@ class SACConfig(AlgoConfig):
 
             a_grad = jax.grad(a_loss_fn)(st.log_alpha)
             if self.pmean_axis is not None:
-                a_grad = jax.lax.pmean(a_grad, self.pmean_axis)
+                a_grad = self.dp_pmean(a_grad)
             a_up, a_opt = self._a_tx.update(a_grad, st.alpha_opt, st.log_alpha)
             log_alpha = optax.apply_updates(st.log_alpha, a_up)
             if not self.entropy_alpha_auto:

@@ -186,9 +186,7 @@ class SNDConfig(AlgoConfig):
             l_q, g_q = jax.value_and_grad(q_loss_fn)(st.params["q"])
 
             if self.pmean_axis is not None:
-                g_q = jax.lax.pmean(g_q, self.pmean_axis)
-                g_tgt = jax.lax.pmean(g_tgt, self.pmean_axis)
-                g_pred = jax.lax.pmean(g_pred, self.pmean_axis)
+                g_q, g_tgt, g_pred = self.dp_pmean((g_q, g_tgt, g_pred))
 
             up_q, o_q = self._tx.update(g_q, st.opt_state["q"], st.params["q"])
             up_t, o_t = self._tx.update(g_tgt, st.opt_state["tgt"], st.params["snd_target"])

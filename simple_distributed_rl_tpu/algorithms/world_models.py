@@ -297,8 +297,8 @@ class WorldModelsConfig(AlgoConfig):
             l_rnn, g_rnn = jax.value_and_grad(rnn_loss_fn)(st.rnn_params)
 
             if self.pmean_axis is not None:
-                g_vae = jax.lax.pmean(g_vae, self.pmean_axis)
-                g_rnn = jax.lax.pmean(g_rnn, self.pmean_axis)
+                g_vae = self.dp_pmean(g_vae)
+                g_rnn = self.dp_pmean(g_rnn)
 
             up_v, vae_opt = self._tx.update(g_vae, st.vae_opt, st.vae_params)
             vae_params = optax.apply_updates(st.vae_params, up_v)

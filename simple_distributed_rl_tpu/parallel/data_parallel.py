@@ -72,6 +72,12 @@ class DataParallelEngine:
         self.axis = self.mesh.axis_names[0]
         self.num_shards = self.mesh.devices.size
         algo.pmean_axis = self.axis
+        if jax.process_count() > 1:
+            # Cross-host all-reduce cost is per-collective latency; fuse each
+            # grad-tree pmean into one flattened collective (see AlgoConfig.
+            # fuse_collectives). Single-host meshes keep the per-leaf form —
+            # XLA's TPU combiner pass already merges those over ICI.
+            algo.fuse_collectives = True
         self.algo = algo
         self.engine = PlayEngine(env, algo, num_envs_per_shard, players)
         self.num_envs = num_envs_per_shard * self.num_shards

@@ -167,3 +167,50 @@ def test_train_mp_callbacks_and_orbax(tmp_path):
     r2 = srl.Runner("Grid", QLConfig(), num_envs=64, seed=4)
     OrbaxCheckpoint.restore(str(tmp_path / "ckpt"), r2)
     assert np.allclose(np.asarray(r2.algo_state.q_table), q_trained)
+
+
+def test_fused_dp_reduce_matches_per_leaf(mesh8):
+    """dp_pmean/dp_psum with fuse_collectives=True (one flattened collective per
+    dtype) must be numerically identical to the per-leaf form."""
+    from functools import partial
+
+    env = srl.make_env("Grid")
+    cfg = DQNConfig(hidden_sizes=(8, 8), batch_size=4)
+    cfg.setup(env)
+    cfg.pmean_axis = "dp"
+    tree = {
+        "w": jnp.arange(12.0).reshape(3, 4),
+        "b": jnp.ones((5,)),
+        "n": jnp.arange(6, dtype=jnp.int32),
+        "s": jnp.float32(2.5),
+    }
+
+    from jax.sharding import PartitionSpec as P
+
+    def run(fused, op_name):
+        cfg.fuse_collectives = fused
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh8,
+            in_specs=(P("dp"),),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def f(x):
+            local = jax.tree.map(
+                lambda v: v * (1.0 + x[0, 0]).astype(v.dtype), tree
+            )
+            return getattr(cfg, op_name)(local)
+
+        x = jnp.arange(8.0).reshape(8, 1)
+        return f(x)
+
+    for op in ("dp_pmean", "dp_psum"):
+        ref = run(False, op)
+        fused = run(True, op)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            ref,
+            fused,
+        )
