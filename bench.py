@@ -276,6 +276,17 @@ def mxu_sweep(full=True):
     big.train_actor_critic = False
     point("diamond_atari_default_f32_no_ac", make_pixels_env(64, 64), big,
           num_envs=16, num_steps=1, reps=3)
+    # same scale WITH backprop-through-imagination: remat_imagination
+    # (jax.checkpoint over the imagination scan body) trades one recompute for
+    # not holding the 45-UNet-call activations — the full reference train step
+    # fits one 16 GB chip
+    big_ac = DiamondConfig()
+    big_ac.capacity = 256
+    big_ac.warmup_size = 20
+    big_ac.img_color = False
+    big_ac.remat_imagination = True
+    point("diamond_atari_default_f32_ac_remat", make_pixels_env(64, 64), big_ac,
+          num_envs=16, num_steps=1, reps=3)
     return rows
 
 

@@ -411,6 +411,14 @@ class DiamondConfig(AlgoConfig):
     train_diffusion: bool = True
     train_reward_end: bool = True
     train_actor_critic: bool = True
+    #: rematerialize the imagination scan body (jax.checkpoint): the backward
+    #: pass re-runs each step's denoise-chain UNet calls instead of keeping
+    #: their activations live across the whole horizon. At the reference's
+    #: default Atari scale (64x64, UNet ch 64x4, horizon 15, batch 32) the
+    #: stored activations of the ~45-UNet-call scan exceed one 16 GB chip;
+    #: remat trades ~1 extra forward for fitting it. Off by default — at the
+    #: small test-recipe scale the recompute only costs time.
+    remat_imagination: bool = False
 
     batch_size: int = 32
     capacity: int = 2_000  # stored [L]-windows
@@ -764,8 +772,9 @@ class DiamondConfig(AlgoConfig):
             return (ro, ra_prefix, hc_ac, hc_re), (v, logpi, entropy, r, done)
 
         carry = (recent_obs, act_prefix, hc_ac, hc_re)
+        step_fn = jax.checkpoint(imagine_step) if self.remat_imagination else imagine_step
         (ro, ra_prefix, hc_ac, _), (vs, logpis, ents, rs, ds) = jax.lax.scan(
-            imagine_step, carry, jax.random.split(key, H))
+            step_fn, carry, jax.random.split(key, H))
         # bootstrap value at the final imagined frame
         _, v_last, _ = self.actor_critic.apply(ac_params, ro[:, -1], hc_ac)
 

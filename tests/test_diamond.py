@@ -121,3 +121,22 @@ def test_diamond_easygrid_staged_baseline():
 
     rewards = r.evaluate(100, on_incomplete="ignore")
     assert float(rewards[0]) >= 0.9
+
+
+@pytest.mark.slow
+def test_diamond_remat_imagination_identical():
+    """remat_imagination (jax.checkpoint over the imagination scan body) must be
+    numerically identical to the unremated path — it only changes what the
+    backward pass stores vs recomputes. This is what lets the reference-default
+    Atari scale backprop through imagination on one 16 GB chip (MXU_r05.json
+    diamond_atari_default_f32_ac_remat)."""
+    outs = {}
+    for remat in (False, True):
+        cfg = _small(capacity=64, warmup_size=4, remat_imagination=remat)
+        r = srl.Runner("Grid-layer", cfg, num_envs=4, seed=3)
+        r.train(max_steps=4 * cfg.required_chunk_steps * 3,
+                chunk_steps=cfg.required_chunk_steps,
+                train_steps_per_chunk=1, progress=False)
+        outs[remat] = jax.tree.map(np.asarray, r.algo.params_of(r.algo_state))
+    for a, b in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
+        np.testing.assert_allclose(a, b, atol=1e-5)
