@@ -117,19 +117,15 @@ def main() -> None:
             per = max(time.perf_counter() - t0, 1e-4)
             iters = max(3, min(60, int(6.0 / per)))
 
-        # mode 1: free-running (headline). On the CPU backend the in-process
-        # collective communicator is unreliable under queue depth > 1 (multiple
-        # enqueued executions' AllReduce rendezvous share the core-count-sized
-        # thread pool -> xla::internal::AwaitAndLogIfStuck, sometimes fatal), so
-        # virtual-mesh runs cap the queue at depth 1 by blocking on the chunk's
-        # train metrics — a scalar leaf downstream of every pmean — which adds
-        # only a host round-trip, not a full-carry device_get.
+        # mode 1: free-running (headline). On the CPU backend the engine itself
+        # caps the in-flight queue at depth 1 (DataParallelEngine.build_chunk:
+        # XLA CPU's in-process collective rendezvous wedges under deeper
+        # queues), so this loop measures depth-1 walls there; on TPU it
+        # measures the true free-running pipeline.
         depth1 = jax.default_backend() == "cpu" and n > 1
         t0 = time.perf_counter()
         for _ in range(iters):
             carry, m = chunk(carry)
-            if depth1:
-                jax.block_until_ready(m)
         full_sync(carry)
         dt_free = (time.perf_counter() - t0) / iters
 

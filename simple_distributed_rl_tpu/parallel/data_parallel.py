@@ -172,11 +172,25 @@ class DataParallelEngine:
             c, m = chunk_body(_unstack(carry))
             return _stack(c), _stack(m)
 
-        return jax.jit(
+        compiled = jax.jit(
             jax.shard_map(
                 shard_fn, mesh=self.mesh, in_specs=P(self.axis), out_specs=P(self.axis), check_vma=False
             )
         )
+        if jax.default_backend() == "cpu" and self.num_shards > 1:
+            # XLA's CPU in-process collective rendezvous shares the
+            # core-count-sized thread pool; dispatching chunk N+1 while chunk
+            # N's all-reduces are in flight can wedge fatally (AwaitAndLogIfStuck
+            # -> abort). Cap the queue at depth 1 by waiting on algo_state —
+            # downstream of every pmean/psum — before returning. Virtual-CPU
+            # meshes are a test/dev vehicle; TPU/GPU runtimes free-run.
+            def depth1_chunk(carry):
+                out = compiled(carry)
+                jax.block_until_ready(out[0].algo_state)
+                return out
+
+            return depth1_chunk
+        return compiled
 
     # ------------------------------------------------------------------
     def build_eval(self, num_episodes_per_shard: int):
