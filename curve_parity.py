@@ -324,11 +324,12 @@ WORKLOADS = {
     # trainer advances ~1 train per ~520 env steps at ~150 env-steps/s on this
     # 2-core box, so 5k trains is a ~4h reference-side run; both sides get the
     # same reduced cumulative budget, keeping the comparison apples-to-apples
-    # measured reference pace this round: 0.27 trains/s (one train per ~520
-    # env steps at ~140 env-steps/s under load), so a 3k-train budget is ~9h of
-    # reference compute across 3 seeds. 600/1200 keeps all three reference
-    # seeds runnable in one round; both sides get the same cumulative budgets.
-    "PPO/EasyGrid": ("PPO", "EasyGrid", [600, 1_200], 0.9),
+    # measured reference pace this round: 0.07-0.27 trains/s (one train per
+    # ~520 env steps at 30-140 env-steps/s depending on box load), so even a
+    # 1200-train budget is hours of reference compute across 3 seeds. One
+    # 600-train cumulative checkpoint is what fits a round on this 2-core box;
+    # both sides get the same cumulative budget.
+    "PPO/EasyGrid": ("PPO", "EasyGrid", [600], 0.9),
     "R2D2/Pendulum-v1": ("R2D2", "Pendulum-v1", [3_500, 7_000], -500.0),
 }
 
